@@ -1,0 +1,262 @@
+"""Typed configuration system.
+
+Reference parity (SURVEY.md C20): the reference threads a yaml->easydict attr
+config (``config/*.yaml``) through ``main.py``. Here every run is a frozen,
+typed dataclass tree; presets cover the five BASELINE.json benchmark configs,
+and ``load_yaml`` accepts reference-style yaml overrides on top of a preset.
+No hidden globals (the reference's global param store C1 is replaced by Flax
+module trees).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset description. Mirrors the reference's data_list/<ds>/*.txt setup
+    (SURVEY.md C15) with a synthetic fallback (no network in dev env)."""
+
+    name: str = "cifar10"
+    image_size: int = 32                  # square images
+    channels: int = 3
+    n_classes: int = 10
+    multi_label: bool = False             # NUS-WIDE: label vectors, not one-hot
+    # Reference-style list files: "<path> <0/1 label bits...>" per line.
+    train_list: Optional[str] = None
+    test_list: Optional[str] = None       # query split
+    database_list: Optional[str] = None   # gallery split
+    # Synthetic fallback sizes (used when list files are absent).
+    synthetic: bool = True
+    n_train: int = 5000
+    n_query: int = 1000
+    n_database: int = 54000
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class GanConfig:
+    """PC-WGAN architecture + loss (SURVEY.md C8, C10, C11, C13)."""
+
+    dim: int = 128                        # base channel width ("DIM")
+    z_dim: int = 128
+    n_critic: int = 5                     # critic steps per generator step
+    gp_lambda: float = 10.0               # gradient-penalty weight
+    acgan_scale: float = 1.0              # aux classification loss on D
+    acgan_scale_g: float = 0.1            # aux classification loss on G
+    lr: float = 2e-4
+    beta1: float = 0.0
+    beta2: float = 0.9
+    iters: int = 100_000                  # generator iterations
+    decay_lr: bool = True                 # linear lr decay over iters
+    # bf16 matmuls on MXU; params + loss stay f32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Hash encoder F (SURVEY.md C9)."""
+
+    arch: str = "small_cnn"               # small_cnn | alexnet | resnet
+    bits: int = 32
+    lr: float = 1e-4
+    hash_lr_multiplier: float = 10.0      # reference: 10x lr on new hash layer
+    iters: int = 10_000
+    pretrained_npy: Optional[str] = None  # bvlc_alexnet.npy path if available
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class HashLossConfig:
+    """WML pairwise loss + quantization (SURVEY.md C12)."""
+
+    similarity: str = "cosine"            # cosine | inner_product
+    alpha: float = 10.0                   # logistic scale on similarity
+    class_balance: bool = True            # w_ij = |S|/|S1| vs |S|/|S0|
+    quantization_weight: float = 0.01     # push codes toward +-1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    eval_every: int = 2000
+    checkpoint_every: int = 2000
+    log_every: int = 100
+    sample_every: int = 1000              # image-grid dumps
+    workdir: str = "/tmp/hashgan_tpu"
+    seed: int = 0
+    use_gan_samples: bool = True          # stage-II: train F on real + fake
+    fake_ratio: float = 0.5               # fraction of encoder batch synthetic
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Packed Hamming index + scan engine (the rebuild's new native layer)."""
+
+    bits: int = 32
+    query_tile: int = 128                 # queries per kernel tile
+    gallery_block: int = 32768            # gallery codes per scan block
+    topk: int = 100                       # serving top-k
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Hamming-ranking eval (SURVEY.md C16)."""
+
+    R: int = 1000                         # MAP@R cutoff (5000 for NUS-WIDE)
+    precision_radius: int = 2             # precision@Hamming<=2
+    pr_curve: bool = True
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for pjit/shard_map (SURVEY.md C23/C24)."""
+
+    data_axis: str = "data"
+    n_devices: int = 0                    # 0 = all available
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "cifar10_32bit_encoder_only"
+    data: DataConfig = field(default_factory=DataConfig)
+    gan: GanConfig = field(default_factory=GanConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    hash_loss: HashLossConfig = field(default_factory=HashLossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    use_gan: bool = True                  # False = encoder-only (config 1)
+
+
+# ----------------------------------------------------------------------------
+# Presets: the five BASELINE.json benchmark configs.
+# ----------------------------------------------------------------------------
+
+def _cifar10_encoder_only() -> Config:
+    return Config(
+        name="cifar10_32bit_encoder_only",
+        data=DataConfig(name="cifar10", n_classes=10),
+        encoder=EncoderConfig(arch="small_cnn", bits=32),
+        index=IndexConfig(bits=32),
+        eval=EvalConfig(R=1000),
+        use_gan=False,
+    )
+
+
+def _cifar10_gan() -> Config:
+    return Config(
+        name="cifar10_48bit_gan",
+        data=DataConfig(name="cifar10", n_classes=10),
+        gan=GanConfig(dim=128),
+        encoder=EncoderConfig(arch="alexnet", bits=48),
+        index=IndexConfig(bits=48),
+        eval=EvalConfig(R=5000),
+        use_gan=True,
+    )
+
+
+def _nuswide_gan() -> Config:
+    return Config(
+        name="nuswide_64bit_gan",
+        data=DataConfig(
+            name="nuswide", n_classes=21, multi_label=True,
+            image_size=64, n_database=100_000, n_query=2100, n_train=10_500,
+        ),
+        gan=GanConfig(dim=128),
+        encoder=EncoderConfig(arch="alexnet", bits=64),
+        index=IndexConfig(bits=64),
+        eval=EvalConfig(R=5000),
+        use_gan=True,
+    )
+
+
+def _imagenet100() -> Config:
+    return Config(
+        name="imagenet100_64bit",
+        data=DataConfig(
+            name="imagenet100", n_classes=100, image_size=64,
+            n_database=100_000, n_query=5000, n_train=13_000,
+        ),
+        gan=GanConfig(dim=128),
+        encoder=EncoderConfig(arch="resnet", bits=64),
+        index=IndexConfig(bits=64),
+        eval=EvalConfig(R=1000),
+        use_gan=True,
+    )
+
+
+def _synthetic_1m_scan() -> Config:
+    return Config(
+        name="synthetic_1m_128bit_scan",
+        data=DataConfig(
+            name="synthetic", n_classes=100,
+            n_database=1_000_000, n_query=1024, n_train=0,
+        ),
+        encoder=EncoderConfig(bits=128),
+        index=IndexConfig(bits=128, gallery_block=65536, topk=100),
+        eval=EvalConfig(R=1000),
+        use_gan=False,
+    )
+
+
+_PRESETS = {
+    "cifar10_32bit_encoder_only": _cifar10_encoder_only,
+    "cifar10_48bit_gan": _cifar10_gan,
+    "nuswide_64bit_gan": _nuswide_gan,
+    "imagenet100_64bit": _imagenet100,
+    "synthetic_1m_128bit_scan": _synthetic_1m_scan,
+}
+
+# Aliases matching BASELINE.json config numbering.
+_PRESETS["config1"] = _cifar10_encoder_only
+_PRESETS["config2"] = _cifar10_gan
+_PRESETS["config3"] = _nuswide_gan
+_PRESETS["config4"] = _imagenet100
+_PRESETS["config5"] = _synthetic_1m_scan
+
+
+def list_presets() -> Tuple[str, ...]:
+    return tuple(sorted(_PRESETS))
+
+
+def get_config(name: str) -> Config:
+    if name not in _PRESETS:
+        raise KeyError(f"unknown preset {name!r}; options: {list_presets()}")
+    return _PRESETS[name]()
+
+
+def _merge(cfg: Any, overrides: dict) -> Any:
+    """Recursively apply a dict of overrides to a (frozen) dataclass tree."""
+    updates = {}
+    for key, value in overrides.items():
+        if not hasattr(cfg, key):
+            raise KeyError(f"unknown config field {key!r} on {type(cfg).__name__}")
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            updates[key] = _merge(current, value)
+        else:
+            updates[key] = value
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_yaml(path: str, base: Optional[str] = None) -> Config:
+    """Load a yaml override file on top of a preset.
+
+    The yaml may set ``preset: <name>`` (else ``base`` or config 1 is used)
+    and any nested subset of Config fields, e.g.::
+
+        preset: cifar10_48bit_gan
+        encoder: {bits: 64}
+        train: {batch_size: 128}
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    preset = raw.pop("preset", base or "cifar10_32bit_encoder_only")
+    return _merge(get_config(preset), raw)

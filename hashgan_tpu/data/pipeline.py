@@ -1,0 +1,90 @@
+"""Host-side batching with deterministic, resumable sampling.
+
+Reference parity (SURVEY.md C15, §3.5): the reference's ``Dataset.data()``
+generator shuffles per epoch and feeds each batch through ``feed_dict`` —
+a host->device copy per session step. Here batches are step-seeded (batch
+content is a pure function of (seed, step), so checkpoint resume replays the
+exact data order — SURVEY.md §5 failure-recovery contract), transferred as
+uint8 (4x smaller than f32 on the wire), and normalization happens inside
+the jitted step on device.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from hashgan_tpu.data.synthetic import SyntheticImageDataset
+
+
+class BatchIterator:
+    """Yields (images uint8 (B,H,W,C), labels f32 (B,K)) batches.
+
+    Sampling is with replacement, seeded per step: ``batch(step)`` is pure in
+    (seed, step). ``start_step`` lets a resumed run continue the sequence.
+    """
+
+    def __init__(
+        self,
+        dataset: SyntheticImageDataset,
+        batch_size: int,
+        seed: int = 0,
+        start_step: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.step = start_step
+
+    def batch(self, step: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng((self.seed, step))
+        idx = rng.integers(0, len(self.dataset), size=self.batch_size)
+        return self.dataset.images[idx], self.dataset.labels[idx]
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
+        out = self.batch(self.step)
+        self.step += 1
+        return out
+
+
+def pair_batch_iterator(
+    dataset: SyntheticImageDataset,
+    batch_size: int,
+    seed: int = 0,
+    start_step: int = 0,
+) -> BatchIterator:
+    """Iterator for pairwise-supervised training.
+
+    The WML loss consumes all B^2 pairs inside a batch (SURVEY.md C12), so a
+    plain shuffled batch suffices: similarity S_ij is computed on-device from
+    the labels. Kept as a named constructor in case label-balanced sampling
+    (reference's label-conditioned pair sampling, BASELINE config 3) needs a
+    different policy later.
+    """
+    return BatchIterator(dataset, batch_size, seed=seed, start_step=start_step)
+
+
+def epoch_batches(
+    dataset: SyntheticImageDataset, batch_size: int
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Deterministic full sweep in order, for encoding query/database splits.
+
+    Yields (images, labels, valid_mask); the final batch is zero-padded to
+    batch_size so jitted encode functions see a single static shape.
+    """
+    n = len(dataset)
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        imgs = dataset.images[lo:hi]
+        labs = dataset.labels[lo:hi]
+        mask = np.ones(hi - lo, dtype=bool)
+        if hi - lo < batch_size:
+            pad = batch_size - (hi - lo)
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+            labs = np.concatenate([labs, np.zeros((pad,) + labs.shape[1:], labs.dtype)])
+            mask = np.concatenate([mask, np.zeros(pad, dtype=bool)])
+        yield imgs, labs, mask

@@ -1,0 +1,121 @@
+"""Synthetic dataset-shaped data.
+
+The dev environment has no network (SURVEY.md §7): real CIFAR-10 / NUS-WIDE
+downloads are unavailable, so development and CI run on synthetic data with
+the same shapes, dtypes, and label semantics. The generator plants a real
+class-dependent signal (class-template images + noise) so that hash training
+must actually learn something for MAP to rise above chance — this mirrors the
+role of the reference's real datasets in its own end-to-end sanity runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from hashgan_tpu.configs import DataConfig
+
+
+@dataclasses.dataclass
+class SyntheticImageDataset:
+    """In-memory dataset of uint8 images + 0/1 label matrix."""
+
+    images: np.ndarray   # (N, H, W, C) uint8
+    labels: np.ndarray   # (N, n_classes) float32 0/1
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def n_classes(self) -> int:
+        return self.labels.shape[1]
+
+
+def _class_templates(
+    rng: np.random.Generator, n_classes: int, size: int, channels: int
+) -> np.ndarray:
+    """Smooth per-class template images in [0, 255]."""
+    # Low-frequency random fields: draw at low res, upsample by tiling.
+    low = max(4, size // 8)
+    t = rng.uniform(0.0, 255.0, size=(n_classes, low, low, channels))
+    reps = (size + low - 1) // low
+    t = np.kron(t, np.ones((1, reps, reps, 1)))[:, :size, :size, :]
+    return t.astype(np.float32)
+
+
+def make_synthetic(
+    n: int,
+    n_classes: int,
+    size: int = 32,
+    channels: int = 3,
+    multi_label: bool = False,
+    noise_scale: float = 40.0,
+    seed: int = 0,
+    templates: Optional[np.ndarray] = None,
+) -> Tuple[SyntheticImageDataset, np.ndarray]:
+    """Generate n images with class-dependent content.
+
+    Returns (dataset, templates) so that multiple splits can share templates
+    (train/query/database must come from the same "distribution").
+    """
+    rng = np.random.default_rng(seed)
+    if templates is None:
+        templates = _class_templates(rng, n_classes, size, channels)
+
+    if multi_label:
+        # 1-3 active labels per example (NUS-WIDE-like).
+        labels = np.zeros((n, n_classes), dtype=np.float32)
+        counts = rng.integers(1, 4, size=n)
+        for i in range(n):
+            idx = rng.choice(n_classes, size=counts[i], replace=False)
+            labels[i, idx] = 1.0
+        mix = labels / labels.sum(axis=1, keepdims=True)
+        base = np.einsum("nk,khwc->nhwc", mix, templates)
+    else:
+        cls = rng.integers(0, n_classes, size=n)
+        labels = np.eye(n_classes, dtype=np.float32)[cls]
+        base = templates[cls]
+
+    noise = rng.normal(0.0, noise_scale, size=base.shape)
+    images = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return SyntheticImageDataset(images=images, labels=labels), templates
+
+
+def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
+    """Build train/query/database splits.
+
+    If reference-style list files are configured and exist on disk, they are
+    loaded (images decoded via PIL); otherwise synthetic splits sharing class
+    templates are generated.
+    """
+    import os
+
+    if cfg.train_list and os.path.exists(cfg.train_list):
+        from hashgan_tpu.data.loader import load_list_dataset
+
+        return {
+            "train": load_list_dataset(cfg.train_list, cfg),
+            "query": load_list_dataset(cfg.test_list, cfg),
+            "database": load_list_dataset(cfg.database_list, cfg),
+        }
+
+    templates = None
+    out: Dict[str, SyntheticImageDataset] = {}
+    for split, n, seed_off in (
+        ("train", cfg.n_train, 0),
+        ("query", cfg.n_query, 1),
+        ("database", cfg.n_database, 2),
+    ):
+        ds, templates = make_synthetic(
+            max(n, 1),
+            cfg.n_classes,
+            size=cfg.image_size,
+            channels=cfg.channels,
+            multi_label=cfg.multi_label,
+            seed=cfg.seed + seed_off,
+            templates=templates,
+        )
+        out[split] = ds
+    return out
