@@ -62,7 +62,7 @@ class EncoderConfig:
 
     arch: str = "small_cnn"               # small_cnn | alexnet | resnet
     bits: int = 32
-    lr: float = 1e-4
+    lr: float = 1e-3
     hash_lr_multiplier: float = 10.0      # reference: 10x lr on new hash layer
     iters: int = 10_000
     pretrained_npy: Optional[str] = None  # bvlc_alexnet.npy path if available
@@ -74,7 +74,7 @@ class HashLossConfig:
     """WML pairwise loss + quantization (SURVEY.md C12)."""
 
     similarity: str = "cosine"            # cosine | inner_product
-    alpha: float = 10.0                   # logistic scale on similarity
+    alpha: float = 5.0                    # logistic scale on similarity (10 collapses at high lr)
     class_balance: bool = True            # w_ij = |S|/|S1| vs |S|/|S0|
     quantization_weight: float = 0.01     # push codes toward +-1
 

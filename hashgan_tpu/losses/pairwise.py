@@ -1,0 +1,82 @@
+"""Weighted-maximum-likelihood pairwise hash loss + quantization term.
+
+Reference parity (SURVEY.md C12, §3.2): similarity S_ij = 1[y_i . y_j > 0]
+over all in-batch pairs; a pairwise logistic (negative log-likelihood) loss
+on a scaled similarity of the continuous codes; WML class-balance weights
+w_ij = |S| / |S_1| for similar pairs and |S| / |S_0| for dissimilar pairs
+(computed per batch, the reference computes them from the training split);
+plus a quantization term pushing code units toward +-1.
+
+Math: with theta_ij = alpha * cos(h_i, h_j) (or alpha/b * <h_i, h_j>),
+  P(s_ij | h) = sigmoid(theta)^s * (1 - sigmoid(theta))^(1-s)
+  L = - sum_ij w_ij [ s_ij * theta_ij - log(1 + exp(theta_ij)) ] / #pairs
+  L_quant = mean((1 - |h|)^2)
+All shapes are static; the diagonal (i == i) pairs are masked out.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pairwise_similarity(labels_a: jnp.ndarray, labels_b: jnp.ndarray) -> jnp.ndarray:
+    """0/1 label matrices -> float {0,1} similarity (share >= 1 class)."""
+    return ((labels_a @ labels_b.T) > 0).astype(jnp.float32)
+
+
+def wml_pairwise_loss(
+    codes: jnp.ndarray,
+    labels: jnp.ndarray,
+    alpha: float = 10.0,
+    similarity: str = "cosine",
+    class_balance: bool = True,
+    quantization_weight: float = 0.01,
+    codes_b: jnp.ndarray | None = None,
+    labels_b: jnp.ndarray | None = None,
+):
+    """WML pairwise loss over all pairs of (codes, codes_b).
+
+    When codes_b is None the loss runs over all in-batch pairs (minus the
+    diagonal). Passing a second set supports real-vs-fake pair training
+    (stage II trains F on real ∪ synthetic; cross-pairs carry supervision
+    from G's conditioning labels).
+    """
+    if codes_b is None:
+        codes_b, labels_b = codes, labels
+        mask = 1.0 - jnp.eye(codes.shape[0], dtype=jnp.float32)
+    else:
+        mask = jnp.ones((codes.shape[0], codes_b.shape[0]), dtype=jnp.float32)
+
+    s = pairwise_similarity(labels, labels_b)
+    if similarity == "cosine":
+        na = codes / (jnp.linalg.norm(codes, axis=1, keepdims=True) + 1e-8)
+        nb = codes_b / (jnp.linalg.norm(codes_b, axis=1, keepdims=True) + 1e-8)
+        theta = alpha * (na @ nb.T)
+    elif similarity == "inner_product":
+        theta = (alpha / codes.shape[1]) * (codes @ codes_b.T)
+    else:
+        raise ValueError(f"unknown similarity {similarity!r}")
+
+    # log(1 + e^theta) - s*theta, numerically stable via softplus
+    nll = jnp.logaddexp(0.0, theta) - s * theta
+
+    if class_balance:
+        n_pos = (s * mask).sum()
+        n_all = mask.sum()
+        n_neg = n_all - n_pos
+        w_pos = jnp.where(n_pos > 0, n_all / jnp.maximum(n_pos, 1.0), 0.0)
+        w_neg = jnp.where(n_neg > 0, n_all / jnp.maximum(n_neg, 1.0), 0.0)
+        w = jnp.where(s > 0, w_pos, w_neg) * mask
+    else:
+        w = mask
+
+    pair_loss = (w * nll).sum() / jnp.maximum(w.sum(), 1.0)
+    quant = jnp.mean(jnp.square(1.0 - jnp.abs(codes)))
+    loss = pair_loss + quantization_weight * quant
+    return loss, {
+        "hash_loss": loss,
+        "pair_nll": pair_loss,
+        "quantization": quant,
+        "code_abs_mean": jnp.mean(jnp.abs(codes)),
+        "bit_balance": jnp.mean(jnp.sign(codes)),
+    }

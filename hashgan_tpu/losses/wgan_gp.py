@@ -1,0 +1,91 @@
+"""WGAN-GP + pair-conditional (ACGAN-style) losses.
+
+Reference parity (SURVEY.md C10, C11):
+  D_cost = E[D(fake)] - E[D(real)] + lambda * E[(||grad_xhat D(xhat)||_2 - 1)^2]
+           + acgan_scale * CE(aux(real), labels)
+  G_cost = -E[D(fake)] + acgan_scale_g * CE(aux(fake), labels)
+with xhat = eps*real + (1-eps)*fake, lambda = 10.
+
+TPU-first: the reference needs TF's second-order graph gradients for the GP
+term; here it is literally ``jax.grad`` of the critic applied inside the
+loss — the outer ``jax.grad`` of the loss then differentiates through it
+(grad-of-grad, first-class in JAX). The critic must be per-sample
+independent (no BatchNorm) for the per-sample gradient norm to be exact.
+
+Multi-label: the aux cross-entropy uses sigmoid-BCE when labels are
+multi-hot (NUS-WIDE) and softmax-CE for one-hot — selected by a static
+flag so the jitted graph stays shape-static.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def aux_classification_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, multi_label: bool = False
+) -> jnp.ndarray:
+    if multi_label:
+        logp = jax.nn.log_sigmoid(logits)
+        lognp = jax.nn.log_sigmoid(-logits)
+        return -(labels * logp + (1.0 - labels) * lognp).sum(axis=-1).mean()
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -(labels * logp).sum(axis=-1).mean()
+
+
+def gradient_penalty(
+    critic_score: Callable[[jnp.ndarray], jnp.ndarray],
+    rng: jax.Array,
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+) -> jnp.ndarray:
+    """E[(||d D(xhat)/d xhat||_2 - 1)^2] on random interpolates."""
+    eps = jax.random.uniform(rng, (real.shape[0], 1, 1, 1))
+    xhat = eps * real + (1.0 - eps) * fake
+    grads = jax.grad(lambda x: critic_score(x).sum())(xhat)
+    norms = jnp.sqrt(jnp.sum(jnp.square(grads), axis=(1, 2, 3)) + 1e-12)
+    return jnp.mean(jnp.square(norms - 1.0))
+
+
+def critic_loss_fn(
+    d_apply: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    rng: jax.Array,
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+    labels: jnp.ndarray,
+    gp_lambda: float = 10.0,
+    acgan_scale: float = 1.0,
+    multi_label: bool = False,
+):
+    """Full critic loss. ``d_apply`` maps images -> (score, aux_logits) with
+    params already bound (differentiate w.r.t. params outside)."""
+    d_real, aux_real = d_apply(real)
+    d_fake, _ = d_apply(fake)
+    wass = d_fake.mean() - d_real.mean()
+    gp = gradient_penalty(lambda x: d_apply(x)[0], rng, real, fake)
+    ac = aux_classification_loss(aux_real, labels, multi_label)
+    loss = wass + gp_lambda * gp + acgan_scale * ac
+    metrics = {
+        "d_loss": loss,
+        "wasserstein": -wass,  # estimate of W-distance (positive when D wins)
+        "grad_penalty": gp,
+        "d_aux_ce": ac,
+    }
+    return loss, metrics
+
+
+def generator_loss_fn(
+    d_apply: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    fake: jnp.ndarray,
+    labels: jnp.ndarray,
+    acgan_scale_g: float = 0.1,
+    multi_label: bool = False,
+):
+    d_fake, aux_fake = d_apply(fake)
+    adv = -d_fake.mean()
+    ac = aux_classification_loss(aux_fake, labels, multi_label)
+    loss = adv + acgan_scale_g * ac
+    return loss, {"g_loss": loss, "g_adv": adv, "g_aux_ce": ac}

@@ -1,0 +1,186 @@
+"""PC-WGAN generator and critic (Flax, NHWC, bf16-on-MXU friendly).
+
+Reference parity (SURVEY.md C8, §3.1): ResNet G and D in the
+improved-wgan-training style — G: linear z -> 4x4 feature map -> conditional-
+BatchNorm residual up-blocks -> tanh image; D: optimized input block ->
+residual down/plain blocks -> ReLU -> global mean-pool -> scalar critic score
+plus an ACGAN-style auxiliary label head. The critic uses LayerNorm or no
+norm (BatchNorm is invalid under the WGAN gradient penalty); per-sample
+independence of D(x) is what makes the GP term well-defined.
+
+TPU-first choices: NHWC layouts, nearest-neighbor-upsample + 3x3 conv
+(instead of transposed conv — same function class, better XLA fusion),
+mean-pool downsample, computations in a configurable ``dtype`` (bfloat16 by
+default in configs) with f32 params and f32 critic/aux outputs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hashgan_tpu.models.layers import CondBatchNorm
+
+Dtype = Any
+
+
+def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample, NHWC."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def _meanpool2x(x: jnp.ndarray) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(2, 4))
+
+
+class GenResBlock(nn.Module):
+    """Conditional-BN residual block with 2x upsample."""
+
+    features: int
+    n_labels: int
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, labels: jnp.ndarray, train: bool = True
+    ) -> jnp.ndarray:
+        h = CondBatchNorm(
+            self.n_labels, use_running_average=not train,
+            axis_name=self.axis_name,
+        )(x, labels)
+        h = nn.relu(h)
+        h = _upsample2x(h)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(h)
+        h = CondBatchNorm(
+            self.n_labels, use_running_average=not train,
+            axis_name=self.axis_name,
+        )(h, labels)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(h)
+        skip = _upsample2x(x)
+        if skip.shape[-1] != self.features:
+            skip = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="skip")(skip)
+        return h + skip
+
+
+class Generator(nn.Module):
+    """z, label-condition -> image in [-1, 1]."""
+
+    image_size: int = 32
+    n_labels: int = 10
+    dim: int = 128
+    out_channels: int = 3
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, z: jnp.ndarray, labels: jnp.ndarray, train: bool = True
+    ) -> jnp.ndarray:
+        n_up = int(math.log2(self.image_size // 4))
+        x = nn.Dense(4 * 4 * self.dim, dtype=self.dtype, name="input")(z)
+        x = x.reshape(-1, 4, 4, self.dim)
+        for i in range(n_up):
+            x = GenResBlock(
+                self.dim, self.n_labels,
+                axis_name=self.axis_name, dtype=self.dtype, name=f"block{i}",
+            )(x, labels, train=train)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9,
+            axis_name=self.axis_name, dtype=self.dtype, name="out_bn",
+        )(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="out_conv")(x)
+        return jnp.tanh(x.astype(jnp.float32))
+
+
+class DiscResBlock(nn.Module):
+    """Critic residual block; optional mean-pool downsample, optional LayerNorm."""
+
+    features: int
+    down: bool = False
+    use_layernorm: bool = False
+    first: bool = False   # "optimized" input block: conv before any activation
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def maybe_norm(h):
+            if self.use_layernorm:
+                h = nn.LayerNorm(dtype=self.dtype)(h)
+            return h
+
+        if self.first:
+            h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(x)
+            h = nn.relu(h)
+            h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(h)
+            h = _meanpool2x(h)
+            skip = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="skip")(
+                _meanpool2x(x)
+            )
+            return h + skip
+
+        h = maybe_norm(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(h)
+        h = maybe_norm(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(h)
+        skip = x
+        if self.down:
+            h = _meanpool2x(h)
+            skip = _meanpool2x(skip)
+        if skip.shape[-1] != self.features:
+            skip = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="skip")(skip)
+        return h + skip
+
+
+class Discriminator(nn.Module):
+    """image -> (critic score (N,), aux class logits (N, n_labels)).
+
+    The aux head ties G's conditioning to labels (pair-conditional/ACGAN
+    loss, SURVEY.md C11).
+    """
+
+    image_size: int = 32
+    n_labels: int = 10
+    dim: int = 128
+    use_layernorm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        n_down_extra = int(math.log2(self.image_size // 32))  # 0 @32, 1 @64
+        h = x.astype(self.dtype)
+        h = DiscResBlock(self.dim, first=True, dtype=self.dtype, name="block_in")(h)
+        for i in range(n_down_extra):
+            h = DiscResBlock(
+                self.dim, down=True, use_layernorm=self.use_layernorm,
+                dtype=self.dtype, name=f"block_extra{i}",
+            )(h)
+        h = DiscResBlock(
+            self.dim, down=True, use_layernorm=self.use_layernorm,
+            dtype=self.dtype, name="block_down",
+        )(h)
+        h = DiscResBlock(
+            self.dim, use_layernorm=self.use_layernorm, dtype=self.dtype,
+            name="block_a",
+        )(h)
+        h = DiscResBlock(
+            self.dim, use_layernorm=self.use_layernorm, dtype=self.dtype,
+            name="block_b",
+        )(h)
+        h = nn.relu(h)
+        h = h.mean(axis=(1, 2)).astype(jnp.float32)  # global mean-pool
+        score = nn.Dense(1, name="critic")(h)[:, 0]
+        aux = nn.Dense(self.n_labels, name="aux")(h)
+        return score, aux

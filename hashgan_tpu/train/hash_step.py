@@ -1,0 +1,123 @@
+"""Encoder (stage-II) training step and encode function.
+
+Reference parity (SURVEY.md §3.2): each step trains F with the WML pairwise
+loss over a batch of real images, optionally augmented with G-synthesized
+images that inherit the conditioning labels. The reference crosses the
+host/device boundary twice per step (feed_dict + separate fake-generation
+session run); here the whole step — fake synthesis, preprocessing,
+augmentation, forward, loss, Adam update — is ONE jitted, device-resident
+function. uint8 batches are the only host->device traffic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hashgan_tpu.configs import Config
+from hashgan_tpu.data.preprocess import (
+    gan_to_encoder_input,
+    random_flip,
+    to_encoder_input,
+)
+from hashgan_tpu.losses.pairwise import wml_pairwise_loss
+from hashgan_tpu.train.state import EncoderState, make_encoder_tx
+
+
+def make_encoder_train_step(
+    encoder,
+    cfg: Config,
+    generator=None,
+) -> Callable:
+    """Returns jitted ``step(state, images_u8, labels, rng, gan_state) ->
+    (state, metrics)``. ``gan_state`` may be None when cfg.use_gan is False.
+    """
+    tx = make_encoder_tx(cfg.encoder)
+    hl = cfg.hash_loss
+    use_gan = cfg.use_gan and generator is not None
+    z_dim = cfg.gan.z_dim
+
+    def step(
+        state: EncoderState,
+        images_u8: jnp.ndarray,
+        labels: jnp.ndarray,
+        rng: jax.Array,
+        g_params=None,
+        g_stats=None,
+    ) -> Tuple[EncoderState, dict]:
+        rng = jax.random.fold_in(rng, state.step)
+        r_flip, r_drop, r_z = jax.random.split(rng, 3)
+        x = to_encoder_input(images_u8)
+        x = random_flip(r_flip, x)
+
+        if use_gan:
+            # Synthesize a half-batch conditioned on (a copy of) the real
+            # labels; fakes inherit those labels (SURVEY.md §3.2).
+            n_fake = max(1, int(images_u8.shape[0] * cfg.train.fake_ratio))
+            z = jax.random.normal(r_z, (n_fake, z_dim))
+            fake_labels = labels[:n_fake]
+            fake_img = generator.apply(
+                {"params": g_params, "batch_stats": g_stats},
+                z, fake_labels, train=False,
+            )
+            fake_x = gan_to_encoder_input(jax.lax.stop_gradient(fake_img))
+            x = jnp.concatenate([x, fake_x], axis=0)
+            all_labels = jnp.concatenate([labels, fake_labels], axis=0)
+        else:
+            all_labels = labels
+
+        def loss_fn(params):
+            codes = encoder.apply(
+                {"params": params}, x, train=True, rngs={"dropout": r_drop}
+            )
+            return wml_pairwise_loss(
+                codes,
+                all_labels,
+                alpha=hl.alpha,
+                similarity=hl.similarity,
+                class_balance=hl.class_balance,
+                quantization_weight=hl.quantization_weight,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = EncoderState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_encode_fn(encoder) -> Callable:
+    """Jitted ``encode(params, images_u8) -> (B, bits) f32 codes`` (eval mode)."""
+
+    def encode(params, images_u8):
+        x = to_encoder_input(images_u8)
+        return encoder.apply({"params": params}, x, train=False)
+
+    return jax.jit(encode)
+
+
+def encode_dataset(
+    encode_fn: Callable,
+    params,
+    dataset,
+    batch_size: int = 256,
+) -> "np.ndarray":
+    """Encode a full split with static batch shapes (padded final batch)."""
+    import numpy as np
+
+    from hashgan_tpu.data.pipeline import epoch_batches
+
+    out = []
+    for imgs, _labs, mask in epoch_batches(dataset, batch_size):
+        codes = np.asarray(encode_fn(params, imgs))
+        out.append(codes[mask])
+    return np.concatenate(out, axis=0)

@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hashgan_tpu.losses.pairwise import pairwise_similarity, wml_pairwise_loss
+from hashgan_tpu.losses.wgan_gp import (
+    aux_classification_loss,
+    gradient_penalty,
+)
+
+
+def test_gradient_penalty_linear_critic_closed_form():
+    """For D(x) = <w, x>, grad_x D = w everywhere, so GP = (||w|| - 1)^2."""
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((4, 4, 3)).astype(np.float32)
+    wn = np.linalg.norm(w)
+
+    def critic(x):
+        return (x * jnp.asarray(w)).sum(axis=(1, 2, 3))
+
+    real = jnp.asarray(rng.standard_normal((8, 4, 4, 3)), dtype=jnp.float32)
+    fake = jnp.asarray(rng.standard_normal((8, 4, 4, 3)), dtype=jnp.float32)
+    gp = float(gradient_penalty(critic, jax.random.key(0), real, fake))
+    assert abs(gp - (wn - 1.0) ** 2) < 1e-4
+
+
+def test_aux_ce_one_hot_matches_manual():
+    logits = jnp.asarray([[2.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
+    labels = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    got = float(aux_classification_loss(logits, labels, multi_label=False))
+    p0 = np.exp(2.0) / (np.exp(2.0) + np.exp(1.0) + 1.0)
+    expect = (-np.log(p0) - np.log(1.0 / 3.0)) / 2.0
+    assert abs(got - expect) < 1e-4
+
+
+def test_aux_bce_multilabel_matches_manual():
+    logits = jnp.asarray([[0.5, -0.5]])
+    labels = jnp.asarray([[1.0, 0.0]])
+    got = float(aux_classification_loss(logits, labels, multi_label=True))
+    expect = -np.log(1 / (1 + np.exp(-0.5))) - np.log(1 - 1 / (1 + np.exp(0.5)))
+    assert abs(got - expect) < 1e-4
+
+
+def test_pairwise_similarity_multilabel():
+    a = jnp.asarray([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    b = jnp.asarray([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 0.0, 1.0]])
+    s = np.asarray(pairwise_similarity(a, b))
+    np.testing.assert_array_equal(s, [[1, 0, 1], [0, 1, 1]])
+
+
+def test_wml_loss_closed_form_2x2():
+    """Hand-check on 2 codes, inner-product similarity, no balance/quant."""
+    codes = jnp.asarray([[1.0, -1.0], [1.0, 1.0]])
+    labels = jnp.asarray([[1.0, 0.0], [1.0, 0.0]])  # similar pair
+    alpha = 2.0
+    loss, metrics = wml_pairwise_loss(
+        codes, labels, alpha=alpha, similarity="inner_product",
+        class_balance=False, quantization_weight=0.0,
+    )
+    # theta_01 = theta_10 = (2/2) * <h0,h1> = (1*1 + -1*1) = 0
+    # nll = log(1+e^0) - 1*0 = log 2 for both off-diagonal pairs
+    assert abs(float(loss) - np.log(2.0)) < 1e-6
+
+
+def test_wml_quantization_term():
+    codes = jnp.asarray([[0.5, -0.5]])
+    labels = jnp.asarray([[1.0]])
+    # single sample: no pairs (diagonal masked) -> pair loss 0; quant = (1-0.5)^2
+    loss, metrics = wml_pairwise_loss(
+        codes, labels, class_balance=False, quantization_weight=1.0
+    )
+    assert abs(float(metrics["quantization"]) - 0.25) < 1e-6
+    assert abs(float(loss) - 0.25) < 1e-6
+
+
+def test_wml_class_balance_upweights_rare_pairs():
+    """With 1 similar and 3 dissimilar pairs, weights are |S|/|S1|=4 and
+    |S|/|S0|=4/3; check the weighted mean against a manual computation."""
+    codes = jnp.asarray([[1.0, 1.0], [1.0, 1.0], [-1.0, -1.0], [-1.0, 1.0]])
+    labels = jnp.asarray([[1, 0], [1, 0], [0, 1], [0, 0]], dtype=jnp.float32)
+    loss, _ = wml_pairwise_loss(
+        codes, labels, alpha=1.0, similarity="inner_product",
+        class_balance=True, quantization_weight=0.0,
+    )
+    c = np.asarray(codes)
+    lab = np.asarray(labels)
+    s = (lab @ lab.T > 0).astype(float)
+    theta = (1.0 / 2) * (c @ c.T)
+    nll = np.logaddexp(0.0, theta) - s * theta
+    mask = 1.0 - np.eye(4)
+    n_all, n_pos = mask.sum(), (s * mask).sum()
+    w = np.where(s > 0, n_all / n_pos, n_all / (n_all - n_pos)) * mask
+    expect = (w * nll).sum() / w.sum()
+    assert abs(float(loss) - expect) < 1e-5
+
+
+def test_wml_cross_set_pairs():
+    """codes_b path (real vs fake) uses the full rectangular pair grid."""
+    rng = np.random.default_rng(1)
+    ca = jnp.asarray(rng.standard_normal((5, 8)), dtype=jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((3, 8)), dtype=jnp.float32)
+    la = jnp.asarray(np.eye(2)[rng.integers(0, 2, 5)], dtype=jnp.float32)
+    lb = jnp.asarray(np.eye(2)[rng.integers(0, 2, 3)], dtype=jnp.float32)
+    loss, _ = wml_pairwise_loss(ca, la, codes_b=cb, labels_b=lb)
+    assert np.isfinite(float(loss))
