@@ -119,7 +119,8 @@ def hamming_distance(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "slab", "use_pallas", "interpret"),
+    static_argnames=("k", "slab", "use_pallas", "interpret", "mode",
+                     "recall_target"),
 )
 def hamming_scan_topk(
     packed_q: jnp.ndarray,
@@ -128,16 +129,33 @@ def hamming_scan_topk(
     slab: int = 1 << 17,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    valid_n: jnp.ndarray | int | None = None,
+    mode: str = "exact",
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming top-k: (Q, W) queries vs (W, N) scan-layout gallery.
 
-    Returns (dists (Q, k) int32 ascending, indices (Q, k) int32). Ties break
-    toward lower database index (matches the numpy oracle).
+    Returns (dists (Q, k) int32 ascending, indices (Q, k) int32).
+
+    mode="exact" (default): ties break toward lower database index — matches
+    the numpy oracle bit-for-bit. The merge is ``lax.top_k`` (sort-based).
+
+    mode="approx": per-slab selection uses ``lax.approx_min_k`` — XLA's
+    ApproxTopK/PartialReduce op, built for TPU KNN serving — ~20x faster
+    merge at ~(recall_target..0.999) recall of the true top-k (every
+    comparison is still computed exactly; only selection may drop a
+    near-duplicate candidate). Use for serving; use exact for evaluation.
+
+    ``valid_n`` (traced ok) marks gallery entries >= valid_n as padding:
+    they get a sentinel distance (> any real distance) so they sort strictly
+    last and can never displace a real entry.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     q, w = packed_q.shape
     n = gallery_t.shape[1]
+    if valid_n is None:
+        valid_n = n
     max_d = 32 * w          # largest possible real distance
     sentinel = max_d + 1    # strictly worse than any real distance
     slab = min(slab, n)
@@ -166,9 +184,19 @@ def hamming_scan_topk(
         else:
             d = hamming_distance_jnp(packed_q, slab_g.T)
         idx = slab_idx * slab + jax.lax.broadcasted_iota(jnp.int32, (q, slab), 1)
-        d = jnp.where(idx < n, d, sentinel)  # neutralize tail padding
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate([best_i, idx], axis=1)
+        d = jnp.where(idx < valid_n, d, sentinel)  # neutralize padding
+        if mode == "approx":
+            # ApproxTopK wants floats; distances <= 129 are exact in f32.
+            vals, pos_in_slab = jax.lax.approx_min_k(
+                d.astype(jnp.float32), k, recall_target=recall_target
+            )
+            cand_d = vals.astype(jnp.int32)
+            cand_i = jnp.take_along_axis(idx, pos_in_slab, axis=1)
+            cat_d = jnp.concatenate([best_d, cand_d], axis=1)
+            cat_i = jnp.concatenate([best_i, cand_i], axis=1)
+        else:
+            cat_d = jnp.concatenate([best_d, d], axis=1)
+            cat_i = jnp.concatenate([best_i, idx], axis=1)
         if use_key:
             key = cat_d * jnp.int32(stride) + cat_i
         else:

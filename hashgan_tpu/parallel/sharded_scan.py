@@ -35,12 +35,14 @@ def sharded_hamming_topk(
     slab: int = 1 << 17,
     axis: str = "data",
     use_pallas: bool | None = None,
+    valid_n: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(Q, W) replicated queries x (W, N) gallery sharded on N -> top-k.
 
     N must be divisible by the mesh size (pad the gallery at build time —
-    index/gallery.py does). Returns (dists (Q, k), global indices (Q, k)),
-    fully replicated.
+    index/gallery.py does; ``valid_n`` marks the true item count so tail
+    padding sorts strictly last). Returns (dists (Q, k), global indices
+    (Q, k)), fully replicated.
     """
     n = gallery_t.shape[1]
     n_dev = mesh.shape[axis]
@@ -49,13 +51,17 @@ def sharded_hamming_topk(
     stride = n + 1
     max_d = 32 * packed_q.shape[1]
     assert (max_d + 1) * stride + n < 2**31, "gallery too large for int32 key"
+    if valid_n is None:
+        valid_n = n
 
     def local_scan(q, g_local):
         # g_local: (W, local_n) resident shard
-        d, i = hamming_scan_topk(
-            q, g_local, k=min(k, local_n), slab=slab, use_pallas=use_pallas
-        )
         shard_idx = jax.lax.axis_index(axis)
+        local_valid = jnp.clip(valid_n - shard_idx * local_n, 0, local_n)
+        d, i = hamming_scan_topk(
+            q, g_local, k=min(k, local_n), slab=slab, use_pallas=use_pallas,
+            valid_n=local_valid,
+        )
         i = i + shard_idx * local_n  # local -> global ids
         # Gather k candidates per chip: (n_dev, Q, k) — rides ICI.
         dg = jax.lax.all_gather(d, axis)

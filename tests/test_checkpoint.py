@@ -1,0 +1,59 @@
+"""Checkpoint/resume contract (SURVEY.md §5): a killed-and-restarted run
+must produce bit-identical results to an uninterrupted one — both model
+params (orbax restore) and data order (step-seeded batches)."""
+
+import numpy as np
+
+from hashgan_tpu.configs import Config, DataConfig, EncoderConfig, TrainConfig
+
+
+def _cfg(wd):
+    return Config(
+        data=DataConfig(n_train=64, n_query=8, n_database=32, n_classes=4),
+        encoder=EncoderConfig(arch="small_cnn", bits=16),
+        train=TrainConfig(batch_size=8, log_every=1000,
+                          checkpoint_every=100000, workdir=wd),
+        use_gan=False,
+    )
+
+
+def test_resume_is_bit_exact(tmp_path):
+    from hashgan_tpu.train.loop import Experiment
+
+    # Uninterrupted: 10 steps.
+    exp_a = Experiment(_cfg(str(tmp_path / "a")))
+    exp_a.train_encoder(iters=10, eval_during=False)
+    codes_a = exp_a.encode_split("query")
+
+    # Interrupted: 6 steps, checkpoint, fresh process-equivalent, 4 more.
+    exp_b = Experiment(_cfg(str(tmp_path / "b")))
+    exp_b.train_encoder(iters=6, eval_during=False)
+    exp_b.save_checkpoint()
+    exp_c = Experiment(_cfg(str(tmp_path / "b")))  # same workdir
+    assert exp_c.restore_checkpoint()
+    assert int(np.asarray(exp_c.encoder_state.step)) == 6
+    exp_c.train_encoder(iters=4, eval_during=False)
+    codes_c = exp_c.encode_split("query")
+
+    np.testing.assert_array_equal(codes_a, codes_c)
+
+
+def test_restore_without_checkpoint_returns_false(tmp_path):
+    from hashgan_tpu.train.loop import Experiment
+
+    exp = Experiment(_cfg(str(tmp_path / "x")))
+    assert exp.restore_checkpoint() is False
+
+
+def test_gallery_artifact_checkpoint(tmp_path):
+    from hashgan_tpu.utils.checkpoint import load_gallery, save_gallery
+
+    rng = np.random.default_rng(0)
+    packed = rng.integers(0, 2**32, (10, 2), dtype=np.uint32)
+    labels = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 10)]
+    p = str(tmp_path / "g.npz")
+    save_gallery(p, packed, labels, 64)
+    p2, l2, b2 = load_gallery(p)
+    np.testing.assert_array_equal(p2, packed)
+    np.testing.assert_array_equal(l2, labels)
+    assert b2 == 64

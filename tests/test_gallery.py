@@ -1,0 +1,63 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hashgan_tpu.index import PackedGallery, build_gallery
+from hashgan_tpu.ops import hamming_distance_np, pack_codes_np
+from hashgan_tpu.parallel import make_mesh
+
+
+def _case(seed, n=100, q=7, bits=64):
+    rng = np.random.default_rng(seed)
+    codes_g = rng.standard_normal((n, bits)).astype(np.float32)
+    codes_q = rng.standard_normal((q, bits)).astype(np.float32)
+    labels = np.eye(5, dtype=np.float32)[rng.integers(0, 5, n)]
+    return codes_q, codes_g, labels
+
+
+def test_gallery_build_and_topk_masks_padding():
+    """n=100 pads to 104+ internally; padding must never appear in top-k."""
+    codes_q, codes_g, labels = _case(0)
+    gal = build_gallery(jnp.asarray(codes_g), labels, 64, use_pallas=False)
+    assert gal.n == 100
+    pq = jnp.asarray(pack_codes_np(codes_q))
+    d, i = gal.topk(pq, k=100, slab=32, use_pallas=False)
+    d, i = np.asarray(d), np.asarray(i)
+    assert (i < 100).all()
+    d_full = hamming_distance_np(pack_codes_np(codes_q), pack_codes_np(codes_g))
+    for qi in range(codes_q.shape[0]):
+        order = np.argsort(d_full[qi], kind="stable")
+        np.testing.assert_array_equal(i[qi], order[:100])
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_gallery_sharded_topk_with_padding(n_dev):
+    """Odd N on a mesh: padding lands in the last shard and must be masked
+    before local selection (regression: padding zero-words could win)."""
+    codes_q, codes_g, labels = _case(1, n=101)
+    # plant a zero-code query: distance to zero-padding words would be 0
+    codes_q[0] = -1.0
+    mesh = make_mesh(n_dev)
+    gal = build_gallery(jnp.asarray(codes_g), labels, 64, mesh=mesh,
+                        use_pallas=False)
+    pq = jnp.asarray(pack_codes_np(codes_q))
+    d, i = gal.topk(pq, k=50, slab=16, use_pallas=False)
+    i = np.asarray(i)
+    assert (i < 101).all()
+    d_full = hamming_distance_np(pack_codes_np(codes_q), pack_codes_np(codes_g))
+    for qi in range(codes_q.shape[0]):
+        order = np.argsort(d_full[qi], kind="stable")[:50]
+        np.testing.assert_array_equal(i[qi], order)
+
+
+def test_gallery_save_load_roundtrip(tmp_path):
+    codes_q, codes_g, labels = _case(2, n=33)
+    gal = build_gallery(jnp.asarray(codes_g), labels, 64, use_pallas=False)
+    p = str(tmp_path / "gallery.npz")
+    gal.save(p)
+    gal2 = PackedGallery.load(p)
+    assert gal2.n == 33 and gal2.bits == 64
+    np.testing.assert_array_equal(
+        np.asarray(gal2.gallery_t), np.asarray(gal.gallery_t)
+    )
+    np.testing.assert_array_equal(gal2.labels, labels)
