@@ -77,6 +77,7 @@ class HashLossConfig:
     alpha: float = 5.0                    # logistic scale on similarity (10 collapses at high lr)
     class_balance: bool = True            # w_ij = |S|/|S1| vs |S|/|S0|
     quantization_weight: float = 0.01     # push codes toward +-1
+    balance_weight: float = 2.0           # per-bit batch-mean^2 (anti-collapse)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,83 @@
+"""GAN sample-quality metrics (SURVEY.md C19 — inception score).
+
+The reference (possibly) computes an Inception Score through a TF inception
+graph. This environment has no network, so the classifier is pluggable:
+``inception_score_from_logits`` implements the IS math
+(exp E_x[KL(p(y|x) || p(y))]) for ANY classifier's logits, and
+``sample_quality_report`` defaults to the critic's auxiliary label head —
+a self-contained conditional-GAN health check (the aux head is exactly the
+classifier PC-WGAN trains). Scores from different classifiers are not
+comparable across papers; this is a monitoring metric, not a leaderboard
+number.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def inception_score_from_logits(
+    logits: jnp.ndarray, splits: int = 1, eps: float = 1e-12
+) -> float:
+    """exp(E_x KL(p(y|x) || p(y))), optionally averaged over splits."""
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    n = probs.shape[0]
+    scores = []
+    for part in np.array_split(probs, splits):
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = (part * (np.log(part + eps) - np.log(marginal + eps))).sum(axis=1)
+        scores.append(float(np.exp(kl.mean())))
+    return float(np.mean(scores))
+
+
+def conditional_accuracy(
+    logits: jnp.ndarray, labels: jnp.ndarray, multi_label: bool = False
+) -> float:
+    """Did the conditional generator hit its target class?"""
+    logits, labels = np.asarray(logits), np.asarray(labels)
+    if multi_label:
+        pred = logits > 0
+        tgt = labels > 0.5
+        inter = (pred & tgt).sum(axis=1)
+        union = (pred | tgt).sum(axis=1)
+        return float(np.mean(inter / np.maximum(union, 1)))
+    return float(np.mean(logits.argmax(axis=1) == labels.argmax(axis=1)))
+
+
+def sample_quality_report(
+    generator_apply: Callable,
+    classifier_apply: Callable,
+    rng: jax.Array,
+    n_labels: int,
+    z_dim: int,
+    n_samples: int = 512,
+    batch: int = 64,
+    multi_label: bool = False,
+) -> Dict[str, float]:
+    """Sample G across the label grid, score with a classifier (default use:
+    the critic's aux head). Returns IS, conditional accuracy, marginal
+    entropy (bits of label coverage)."""
+    all_logits, all_labels = [], []
+    eye = np.eye(n_labels, dtype=np.float32)
+    for i in range(0, n_samples, batch):
+        r = jax.random.fold_in(rng, i)
+        labels = jnp.asarray(eye[np.arange(i, i + batch) % n_labels])
+        z = jax.random.normal(r, (batch, z_dim))
+        imgs = generator_apply(z, labels)
+        logits = classifier_apply(imgs)
+        all_logits.append(np.asarray(logits))
+        all_labels.append(np.asarray(labels))
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    marginal = probs.mean(axis=0)
+    entropy = float(-(marginal * np.log2(marginal + 1e-12)).sum())
+    return {
+        "inception_score_aux": inception_score_from_logits(logits),
+        "conditional_accuracy": conditional_accuracy(logits, labels, multi_label),
+        "marginal_label_entropy_bits": entropy,
+    }

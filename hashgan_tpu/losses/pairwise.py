@@ -31,6 +31,7 @@ def wml_pairwise_loss(
     similarity: str = "cosine",
     class_balance: bool = True,
     quantization_weight: float = 0.01,
+    balance_weight: float = 0.0,
     codes_b: jnp.ndarray | None = None,
     labels_b: jnp.ndarray | None = None,
 ):
@@ -72,11 +73,18 @@ def wml_pairwise_loss(
 
     pair_loss = (w * nll).sum() / jnp.maximum(w.sum(), 1.0)
     quant = jnp.mean(jnp.square(1.0 - jnp.abs(codes)))
-    loss = pair_loss + quantization_weight * quant
+    # Bit-balance regularizer: push each bit's batch mean toward 0. This
+    # removes the "all codes identical" attractor the raw WML loss has
+    # (a collapsed batch scores pair_nll = (softplus(a) + softplus(a) - a)/2
+    # and is a local optimum once tanh saturates) and doubles as the usual
+    # max-entropy/bit-utilization prior of the deep-hashing literature.
+    balance = jnp.mean(jnp.square(jnp.mean(codes, axis=0)))
+    loss = pair_loss + quantization_weight * quant + balance_weight * balance
     return loss, {
         "hash_loss": loss,
         "pair_nll": pair_loss,
         "quantization": quant,
+        "bit_balance_sq": balance,
         "code_abs_mean": jnp.mean(jnp.abs(codes)),
         "bit_balance": jnp.mean(jnp.sign(codes)),
     }

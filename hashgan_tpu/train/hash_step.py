@@ -80,6 +80,7 @@ def make_encoder_train_step(
                 similarity=hl.similarity,
                 class_balance=hl.class_balance,
                 quantization_weight=hl.quantization_weight,
+                balance_weight=hl.balance_weight,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

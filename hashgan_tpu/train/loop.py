@@ -142,9 +142,28 @@ class Experiment:
                 means = self.logger.flush(host_step)
             if host_step % self.cfg.train.sample_every == 0:
                 self.dump_samples(host_step)
+                self.logger.log(host_step, self.sample_quality())
             if host_step % self.cfg.train.checkpoint_every == 0:
                 self.save_checkpoint()
         return means
+
+    def sample_quality(self) -> Dict[str, float]:
+        """IS-style GAN health metrics via the critic's aux head (C19)."""
+        from hashgan_tpu.eval.sample_quality import sample_quality_report
+
+        return sample_quality_report(
+            lambda z, l: self._sample(
+                self.gan_state.g_params, self.gan_state.g_stats, z, l
+            ),
+            lambda x: self.discriminator.apply(
+                {"params": self.gan_state.d_params}, x
+            )[1],
+            jax.random.key(7),
+            n_labels=self.cfg.data.n_classes,
+            z_dim=self.cfg.gan.z_dim,
+            n_samples=min(512, 8 * self.cfg.data.n_classes * 8),
+            multi_label=self.cfg.data.multi_label,
+        )
 
     def dump_samples(self, step: int) -> None:
         if self._sample is None:

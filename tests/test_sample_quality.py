@@ -1,0 +1,52 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hashgan_tpu.eval.sample_quality import (
+    conditional_accuracy,
+    inception_score_from_logits,
+    sample_quality_report,
+)
+
+
+def test_is_uniform_confident_classifier_is_k():
+    """Perfectly confident + perfectly diverse -> IS == n_classes."""
+    k, n = 5, 100
+    logits = np.full((n, k), -50.0)
+    for i in range(n):
+        logits[i, i % k] = 50.0
+    score = inception_score_from_logits(jnp.asarray(logits))
+    assert abs(score - k) < 1e-3
+
+
+def test_is_collapsed_generator_is_one():
+    """All samples one class -> IS == 1 (the collapse detector)."""
+    logits = np.full((64, 8), -50.0)
+    logits[:, 3] = 50.0
+    score = inception_score_from_logits(jnp.asarray(logits))
+    assert abs(score - 1.0) < 1e-3
+
+
+def test_conditional_accuracy():
+    logits = np.array([[5.0, 0.0], [0.0, 5.0], [5.0, 0.0]])
+    labels = np.eye(2)[[0, 1, 1]]
+    assert abs(conditional_accuracy(logits, labels) - 2 / 3) < 1e-9
+
+
+def test_report_with_real_models():
+    from hashgan_tpu.models import Discriminator, Generator
+
+    gen = Generator(image_size=32, n_labels=4, dim=8)
+    disc = Discriminator(image_size=32, n_labels=4, dim=8)
+    rng = jax.random.key(0)
+    z = jnp.zeros((2, 16)); y = jnp.zeros((2, 4))
+    gv = gen.init(rng, z, y, train=False)
+    dv = disc.init(rng, jnp.zeros((2, 32, 32, 3)))
+    report = sample_quality_report(
+        lambda z, l: gen.apply(gv, z, l, train=False),
+        lambda x: disc.apply(dv, x)[1],
+        rng, n_labels=4, z_dim=16, n_samples=64, batch=32,
+    )
+    assert 1.0 <= report["inception_score_aux"] <= 4.0
+    assert 0.0 <= report["conditional_accuracy"] <= 1.0
+    assert 0.0 <= report["marginal_label_entropy_bits"] <= 2.0 + 1e-6
