@@ -1,14 +1,16 @@
 """Hamming-scan throughput benchmark (BASELINE.json north star).
 
 Target: >= 1e9 packed-code comparisons/sec/chip on one v5e. One comparison
-= one (query, gallery-item) pair: W uint32 XOR + popcounts + selection
-maintenance. The benchmark times the REAL query path — streaming slab scan
-+ top-k merge over a device-resident 1M x 128-bit gallery.
+= one (query, gallery-item) pair. The benchmark times the REAL query path
+over a device-resident 1M x 128-bit gallery, k=100, 1024 queries.
 
-Two selection modes (ops/hamming.py):
-  exact  — lax.top_k merge, bit-identical to the numpy oracle (eval path)
-  approx — lax.approx_min_k (XLA ApproxTopK, the TPU-KNN serving op),
-           every comparison still computed; recall ~0.99 @ k=100
+Selection engines measured:
+  groupmin (HEADLINE) — fused Pallas scan with in-kernel group-min
+      selection + repair pass (ops/groupmin.py): EXACT (numpy-oracle
+      bit-identical ranking) at ~12e9 cmp/s.
+  approx  — slab scan + lax.approx_min_k (XLA ApproxTopK): ~9e9 cmp/s,
+      recall@100 ~0.998.
+  sort    — slab scan + lax.top_k merge: the baseline exact engine.
 
 Timing note: device sync uses a host copy of the result — on the
 experimental ``axon`` platform ``block_until_ready`` can return before the
@@ -45,6 +47,7 @@ def run_bench(
     iters: int = 3,
     use_pallas: bool | None = None,
 ) -> Dict:
+    from hashgan_tpu.ops.groupmin import groupmin_topk, to_grouped_layout
     from hashgan_tpu.ops.hamming import hamming_scan_topk
 
     rng = np.random.default_rng(0)
@@ -52,41 +55,52 @@ def run_bench(
     packed_q = jax.device_put(
         jnp.asarray(rng.integers(0, 2**32, size=(q, w), dtype=np.uint32))
     )
-    gallery_t = jax.device_put(
-        jnp.asarray(rng.integers(0, 2**32, size=(w, n), dtype=np.uint32))
-    )
+    pg = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    gallery_t = jax.device_put(jnp.asarray(pg.T))
+    gallery_g = jax.device_put(jnp.asarray(to_grouped_layout(pg)))
+    n_tot = gallery_g.shape[1] * gallery_g.shape[2]
+    canon = np.concatenate([pg, np.zeros((n_tot - n, w), np.uint32)])
+    packed_canonical = jax.device_put(jnp.asarray(canon))
 
-    def scan(mode):
+    def scan_groupmin():
+        return groupmin_topk(
+            packed_q, gallery_g, packed_canonical, valid_n=n, k=k, repair=16
+        )
+
+    def scan_slab(mode):
         return hamming_scan_topk(
             packed_q, gallery_t, k=k, slab=slab, use_pallas=use_pallas,
             mode=mode,
         )
 
-    dt_approx = _time_scan(lambda: scan("approx"), iters)
-    dt_exact = _time_scan(lambda: scan("exact"), iters)
+    dt_groupmin = _time_scan(scan_groupmin, iters)
+    dt_approx = _time_scan(lambda: scan_slab("approx"), iters)
+    dt_sort = _time_scan(lambda: scan_slab("exact"), iters)
 
-    # recall of approx vs exact on a query subsample
-    _, ie = scan("exact")
-    _, ia = scan("approx")
-    ie, ia = np.asarray(ie), np.asarray(ia)
+    # verify groupmin vs sort-exact on a query subsample (bit-identical)
+    _, ie = scan_slab("exact")
+    dg, ig, fb = scan_groupmin()
+    ie, ig = np.asarray(ie), np.asarray(ig)
     sample = min(128, q)
-    recall = float(
-        np.mean([len(set(ia[i]) & set(ie[i])) / k for i in range(sample)])
-    )
+    exact_match = bool((ig[:sample] == ie[:sample]).all())
+    fallbacks = int(np.asarray(fb).sum())
 
     comparisons = q * n
-    cps = comparisons / dt_approx
+    cps = comparisons / dt_groupmin
     return {
         "metric": "packed_hamming_cmp_per_sec",
         "value": float(cps),
         "unit": "cmp/s",
         "vs_baseline": float(cps / 1e9),
         "detail": {
-            "bits": bits, "gallery": n, "queries": q, "k": k, "slab": slab,
-            "seconds_per_scan_approx": dt_approx,
-            "seconds_per_scan_exact": dt_exact,
-            "exact_cmp_per_sec": float(comparisons / dt_exact),
-            "approx_recall_at_k": recall,
+            "bits": bits, "gallery": n, "queries": q, "k": k,
+            "seconds_groupmin_exact": dt_groupmin,
+            "seconds_approx": dt_approx,
+            "seconds_sort_exact": dt_sort,
+            "approx_cmp_per_sec": float(comparisons / dt_approx),
+            "sort_exact_cmp_per_sec": float(comparisons / dt_sort),
+            "groupmin_matches_sort_exact": exact_match,
+            "groupmin_fallbacks": fallbacks,
             "backend": jax.default_backend(),
         },
     }

@@ -26,13 +26,20 @@ from hashgan_tpu.parallel.sharded_scan import sharded_hamming_topk
 @dataclasses.dataclass
 class PackedGallery:
     """gallery_t: (W, N_pad) uint32 scan-layout codes (device array);
-    labels: (N, K) host float32; n: true item count; bits: logical width."""
+    labels: (N, K) host float32; n: true item count; bits: logical width.
+
+    On TPU, single-mesh queries use the group-min engine (ops/groupmin.py):
+    in-kernel selection at ~12e9 cmp/s, EXACT (stable-argsort semantics)
+    with an automatic sort-based fallback for queries whose repair capacity
+    is exceeded (provably impossible when repair >= k)."""
 
     gallery_t: jnp.ndarray
     labels: np.ndarray
     n: int
     bits: int
     mesh: Optional[Mesh] = None
+    gallery_grouped: Optional[jnp.ndarray] = None   # (W, L, C) grouped layout
+    packed_canonical: Optional[jnp.ndarray] = None  # (L*C, W) device canonical
 
     @property
     def words(self) -> int:
@@ -41,16 +48,46 @@ class PackedGallery:
     def topk(
         self, packed_q: jnp.ndarray, k: int = 100,
         slab: int = 1 << 17, use_pallas: bool | None = None,
+        mode: str = "exact",
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Top-k scan; entries with index >= n are padding sentinels."""
+        """Top-k scan; entries with index >= n are padding sentinels.
+
+        mode: "exact" (default, oracle-bit-identical) or "approx"
+        (ApproxTopK selection, ~0.998 recall@100, for latency-critical
+        serving)."""
+        if use_pallas is None:
+            import jax as _jax
+
+            use_pallas = _jax.default_backend() not in ("cpu",)
         if self.mesh is not None and self.mesh.size > 1:
             return sharded_hamming_topk(
                 self.mesh, packed_q, self.gallery_t, k=k, slab=slab,
                 use_pallas=use_pallas, valid_n=self.n,
             )
+        if use_pallas and self.gallery_grouped is not None:
+            from hashgan_tpu.ops.groupmin import groupmin_topk
+
+            d, i, fb = groupmin_topk(
+                packed_q, self.gallery_grouped, self.packed_canonical,
+                valid_n=self.n, k=k, repair=min(k, 16),
+                exact=(mode == "exact"),
+            )
+            if mode == "exact" and bool(jnp.any(fb)):
+                # Rare (adversarial grouping): recompute flagged queries
+                # with the sort-based exact engine.
+                fb_host = np.asarray(fb)
+                d_fix, i_fix = hamming_scan_topk(
+                    packed_q[jnp.asarray(fb_host)], self.gallery_t,
+                    k=min(k, self.n), slab=slab, valid_n=self.n,
+                    use_pallas=use_pallas,
+                )
+                d = jnp.asarray(np.asarray(d)); i = jnp.asarray(np.asarray(i))
+                d = d.at[jnp.asarray(fb_host)].set(d_fix)
+                i = i.at[jnp.asarray(fb_host)].set(i_fix)
+            return d, i
         return hamming_scan_topk(
             packed_q, self.gallery_t, k=k, slab=slab, use_pallas=use_pallas,
-            valid_n=self.n,
+            valid_n=self.n, mode=mode,
         )
 
     def save(self, path: str) -> None:
@@ -90,8 +127,21 @@ def build_gallery_from_packed(
         gallery_t = jax.device_put(
             gallery_t, NamedSharding(mesh, P(None, "data"))
         )
+    gallery_grouped = packed_canonical = None
+    if mesh is None or mesh.size == 1:
+        from hashgan_tpu.ops.groupmin import to_grouped_layout
+
+        grouped = to_grouped_layout(packed[:n], groups=64, col_multiple=512)
+        n_tot = grouped.shape[1] * grouped.shape[2]
+        canon = np.concatenate(
+            [packed[:n], np.zeros((n_tot - n, w), dtype=np.uint32)], axis=0
+        )
+        gallery_grouped = jnp.asarray(grouped)
+        packed_canonical = jnp.asarray(canon)
     return PackedGallery(
-        gallery_t=gallery_t, labels=np.asarray(labels), n=n, bits=bits, mesh=mesh
+        gallery_t=gallery_t, labels=np.asarray(labels), n=n, bits=bits,
+        mesh=mesh, gallery_grouped=gallery_grouped,
+        packed_canonical=packed_canonical,
     )
 
 

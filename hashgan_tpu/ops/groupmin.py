@@ -1,0 +1,225 @@
+"""Fused Hamming-scan + in-kernel group-min selection (on-chip top-k).
+
+This is the engine behind fast EXACT top-k (SURVEY.md §7 "hard part #1").
+The sort-based merge (ops/hamming.py mode="exact") pays lax.top_k over every
+slab — ~150x the cost of the distance math. Here selection happens inside
+the Pallas kernel:
+
+- The gallery lives in a *grouped scan layout* (W, L, C): item
+  ``n = s * C + c`` is word-sliced at ``[w, s, c]``. Groups are the L-item
+  sublane fibers at a fixed column c — so a group-min is a single
+  cross-sublane VPU reduction, the cheapest reduction the hardware has.
+- The kernel computes composite keys ``key = d * stride + idx`` (distance-
+  major, index-minor — the same total order as the numpy oracle) and emits
+  per (query, column): the smallest and the second-smallest key in the
+  group. HBM sees (Q, C) x2 int32 instead of (Q, N): an L/2-fold write
+  reduction, and the top_k merge shrinks by L.
+- Exactness: the true top-k can only be missed if a group hides >= 2
+  members. Any such group has ``min2 <= kth-best key``, so a repair pass
+  gathers the (rare) flagged groups' items, rescans them exactly, and
+  re-merges. If more groups are flagged than the static repair capacity
+  (degenerate data: everything tied), the caller falls back to the
+  sort-based exact scan — correctness never depends on the data.
+
+The index is recoverable from the key (``idx = key % stride``) so no
+separate argmin bookkeeping is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def to_grouped_layout(
+    packed: np.ndarray, groups: int = 64, col_multiple: int = 512
+) -> np.ndarray:
+    """(N, W) canonical packed codes -> (W, L, C) grouped scan layout.
+
+    C is padded to a multiple of ``col_multiple`` (the kernel's column
+    block) so the kernel's idx formula ``s * C + c`` matches the layout
+    exactly; padding items occupy the tail indices (>= N) and are masked
+    by valid_n in the kernel.
+    """
+    n, w = packed.shape
+    L = groups
+    c = -(-n // (L * col_multiple)) * col_multiple
+    n_pad = L * c
+    if n_pad != n:
+        packed = np.concatenate(
+            [packed, np.zeros((n_pad - n, w), dtype=packed.dtype)], axis=0
+        )
+    # item n = s * C + c  ->  [w, s, c]
+    return np.ascontiguousarray(
+        packed.reshape(L, c, w).transpose(2, 0, 1)
+    )
+
+
+def _groupmin_kernel(q_ref, g_ref, min_ref, min2_ref, *, stride, valid_n, cols):
+    """q (Tq, W) uint32; g (W, L, Cb) uint32; outs (Tq, Cb) int32."""
+    w_words = q_ref.shape[1]
+    L = g_ref.shape[1]
+    cb = g_ref.shape[2]
+    tq = q_ref.shape[0]
+    j = pl.program_id(1)
+
+    dist = None
+    for w in range(w_words):  # static unroll
+        x = q_ref[:, w][:, None, None] ^ g_ref[w][None, :, :]
+        p = jax.lax.population_count(x).astype(jnp.int32)
+        dist = p if dist is None else dist + p
+
+    # global idx = s * cols + (j * cb + c)
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, L, cb), 1)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, L, cb), 2)
+    idx = s_ids * cols + (j * cb + c_ids)
+    key = dist * stride + idx
+    key = jnp.where(idx < valid_n, key, INT32_MAX)
+
+    min1 = jnp.min(key, axis=1)
+    is_min = key == min1[:, None, :]
+    key2 = jnp.where(is_min, INT32_MAX, key)
+    min2 = jnp.min(key2, axis=1)
+    min_ref[:] = min1
+    min2_ref[:] = min2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("valid_n", "query_tile", "col_block", "interpret"),
+)
+def groupmin_scan(
+    packed_q: jnp.ndarray,
+    gallery_g: jnp.ndarray,
+    valid_n: int,
+    query_tile: int = 32,
+    col_block: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q, W) x (W, L, C) -> (min_keys, min2_keys), each (Q, C) int32."""
+    q, w = packed_q.shape
+    _, L, c = gallery_g.shape
+    n_total = L * c
+    stride = n_total + 1
+    assert (32 * w + 1) * stride + n_total < 2**31, "gallery too large for int32 key"
+    assert c % col_block == 0, (
+        f"grouped layout cols {c} not a multiple of col_block {col_block}; "
+        "build the layout with to_grouped_layout(col_multiple=col_block)"
+    )
+    q_pad = -(-q // query_tile) * query_tile
+    if q_pad != q:
+        packed_q = jnp.pad(packed_q, ((0, q_pad - q), (0, 0)))
+
+    kernel = functools.partial(
+        _groupmin_kernel, stride=stride, valid_n=valid_n, cols=c
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
+        ),
+        grid=(q_pad // query_tile, c // col_block),
+        in_specs=[
+            pl.BlockSpec((query_tile, w), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, L, col_block), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((query_tile, col_block), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, col_block), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(packed_q, gallery_g)
+    min1, min2 = outs
+    return min1[:q], min2[:q]
+
+
+def _rescan_groups(packed_q, packed_canonical, group_cols, cols, L, stride,
+                   valid_n):
+    """Exactly rescan M groups per query.
+
+    group_cols: (Q, M) int32 column ids. Returns keys (Q, M*L) int32."""
+    q, w = packed_q.shape
+    m = group_cols.shape[1]
+    s_ids = jnp.arange(L, dtype=jnp.int32)[None, None, :]        # (1,1,L)
+    idx = s_ids * cols + group_cols[:, :, None]                   # (Q,M,L)
+    idx_c = jnp.clip(idx, 0, packed_canonical.shape[0] - 1)
+    codes = packed_canonical[idx_c]                               # (Q,M,L,W)
+    x = codes ^ packed_q[:, None, None, :]
+    d = jax.lax.population_count(x).astype(jnp.int32).sum(axis=-1)
+    key = d * stride + idx
+    key = jnp.where(idx < valid_n, key, INT32_MAX)
+    return key.reshape(q, m * L)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "valid_n", "repair", "query_tile", "col_block",
+                     "interpret", "exact"),
+)
+def groupmin_topk(
+    packed_q: jnp.ndarray,
+    gallery_g: jnp.ndarray,
+    packed_canonical: jnp.ndarray,
+    valid_n: int,
+    k: int = 100,
+    repair: int = 16,
+    exact: bool = True,
+    query_tile: int = 32,
+    col_block: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Group-min top-k scan.
+
+    Returns (dists (Q,k), indices (Q,k), needs_fallback (Q,) bool). When
+    ``exact`` and a query flags more than ``repair`` suspicious groups, its
+    needs_fallback is True and the caller must recompute that query with the
+    sort-based exact path (ops/hamming.py) — everything else is exact.
+    """
+    q, w = packed_q.shape
+    _, L, c = gallery_g.shape
+    stride = L * c + 1
+    min1, min2 = groupmin_scan(
+        packed_q, gallery_g, valid_n,
+        query_tile=query_tile, col_block=col_block, interpret=interpret,
+    )
+    kk = min(k, valid_n)
+    neg1, cols1 = jax.lax.top_k(-min1, kk)           # prelim winners
+    prelim_keys = -neg1                              # (Q, kk) ascending
+    if not exact:
+        d = prelim_keys // stride
+        i = prelim_keys % stride
+        return d, i, jnp.zeros((q,), bool)
+
+    kth = prelim_keys[:, -1:]                        # (Q, 1)
+    flagged = min2 <= kth                            # (Q, C) suspicious groups
+    n_flagged = flagged.sum(axis=1)
+    needs_fallback = n_flagged > repair
+
+    # Take the `repair` smallest min2 groups: a superset of the flagged set
+    # whenever n_flagged <= repair.
+    _, cand_cols = jax.lax.top_k(-min2, repair)      # (Q, M)
+    rescan_keys = _rescan_groups(
+        packed_q, packed_canonical, cand_cols, c, L, stride, valid_n
+    )
+    # Drop prelim entries that live in a rescanned group (they reappear in
+    # rescan_keys; duplicates would displace legitimate winners).
+    prelim_cols = (prelim_keys % stride) % c         # idx % cols = column
+    dup = (prelim_cols[:, :, None] == cand_cols[:, None, :]).any(axis=2)
+    prelim_masked = jnp.where(dup, INT32_MAX, prelim_keys)
+    all_keys = jnp.concatenate([prelim_masked, rescan_keys], axis=1)
+    negk, _ = jax.lax.top_k(-all_keys, kk)
+    final = -negk
+    return final // stride, final % stride, needs_fallback
