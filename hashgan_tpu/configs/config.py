@@ -34,6 +34,7 @@ class DataConfig:
     n_train: int = 5000
     n_query: int = 1000
     n_database: int = 54000
+    noise_scale: float = 40.0             # synthetic class-signal difficulty
     seed: int = 0
 
 

@@ -114,6 +114,7 @@ def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
             size=cfg.image_size,
             channels=cfg.channels,
             multi_label=cfg.multi_label,
+            noise_scale=cfg.noise_scale,
             seed=cfg.seed + seed_off,
             templates=templates,
         )

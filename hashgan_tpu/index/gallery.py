@@ -60,6 +60,29 @@ class PackedGallery:
 
             use_pallas = _jax.default_backend() not in ("cpu",)
         if self.mesh is not None and self.mesh.size > 1:
+            if use_pallas and self.gallery_grouped is not None:
+                from hashgan_tpu.parallel.sharded_scan import (
+                    sharded_groupmin_topk,
+                )
+
+                grouped, canon, valids = self.gallery_grouped
+                d, i, fb = sharded_groupmin_topk(
+                    self.mesh, packed_q, grouped, canon, valids,
+                    n=self.n, k=k, repair=min(k, 16),
+                    exact=(mode == "exact"),
+                )
+                if mode == "exact" and bool(jnp.any(fb)):
+                    fb_host = np.asarray(fb)
+                    d_fix, i_fix = sharded_hamming_topk(
+                        self.mesh, packed_q[jnp.asarray(fb_host)],
+                        self.gallery_t, k=min(k, self.n), slab=slab,
+                        use_pallas=use_pallas, valid_n=self.n,
+                    )
+                    d = jnp.asarray(np.asarray(d))
+                    i = jnp.asarray(np.asarray(i))
+                    d = d.at[jnp.asarray(fb_host), : d_fix.shape[1]].set(d_fix)
+                    i = i.at[jnp.asarray(fb_host), : i_fix.shape[1]].set(i_fix)
+                return d, i
             return sharded_hamming_topk(
                 self.mesh, packed_q, self.gallery_t, k=k, slab=slab,
                 use_pallas=use_pallas, valid_n=self.n,
@@ -138,6 +161,14 @@ def build_gallery_from_packed(
         )
         gallery_grouped = jnp.asarray(grouped)
         packed_canonical = jnp.asarray(canon)
+    else:
+        from hashgan_tpu.parallel.sharded_scan import shard_grouped_gallery
+
+        grouped_dev, canon_dev, valids_dev, _ = shard_grouped_gallery(
+            mesh, packed[:n], groups=64, col_multiple=512
+        )
+        # mesh galleries store the sharded engine inputs as a tuple
+        gallery_grouped = (grouped_dev, canon_dev, valids_dev)
     return PackedGallery(
         gallery_t=gallery_t, labels=np.asarray(labels), n=n, bits=bits,
         mesh=mesh, gallery_grouped=gallery_grouped,

@@ -63,13 +63,16 @@ def to_grouped_layout(
     )
 
 
-def _groupmin_kernel(q_ref, g_ref, min_ref, min2_ref, *, stride, valid_n, cols):
-    """q (Tq, W) uint32; g (W, L, Cb) uint32; outs (Tq, Cb) int32."""
+def _groupmin_kernel(valid_ref, q_ref, g_ref, min_ref, min2_ref, *, stride,
+                     cols):
+    """valid (1,) int32 SMEM; q (Tq, W) uint32; g (W, L, Cb) uint32;
+    outs (Tq, Cb) int32."""
     w_words = q_ref.shape[1]
     L = g_ref.shape[1]
     cb = g_ref.shape[2]
     tq = q_ref.shape[0]
     j = pl.program_id(1)
+    valid_n = valid_ref[0]
 
     dist = None
     for w in range(w_words):  # static unroll
@@ -94,17 +97,20 @@ def _groupmin_kernel(q_ref, g_ref, min_ref, min2_ref, *, stride, valid_n, cols):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("valid_n", "query_tile", "col_block", "interpret"),
+    static_argnames=("query_tile", "col_block", "interpret"),
 )
 def groupmin_scan(
     packed_q: jnp.ndarray,
     gallery_g: jnp.ndarray,
-    valid_n: int,
+    valid_n: jnp.ndarray | int,
     query_tile: int = 32,
     col_block: int = 512,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(Q, W) x (W, L, C) -> (min_keys, min2_keys), each (Q, C) int32."""
+    """(Q, W) x (W, L, C) -> (min_keys, min2_keys), each (Q, C) int32.
+
+    valid_n may be traced (it rides a scalar-prefetch SMEM slot), so the
+    same compiled kernel serves any shard's validity count."""
     q, w = packed_q.shape
     _, L, c = gallery_g.shape
     n_total = L * c
@@ -118,30 +124,33 @@ def groupmin_scan(
     if q_pad != q:
         packed_q = jnp.pad(packed_q, ((0, q_pad - q), (0, 0)))
 
-    kernel = functools.partial(
-        _groupmin_kernel, stride=stride, valid_n=valid_n, cols=c
+    kernel = functools.partial(_groupmin_kernel, stride=stride, cols=c)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q_pad // query_tile, c // col_block),
+        in_specs=[
+            pl.BlockSpec((query_tile, w), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, L, col_block), lambda i, j, *_: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((query_tile, col_block), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, col_block), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
     )
+    valid_arr = jnp.asarray(valid_n, dtype=jnp.int32).reshape(1)
     outs = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
             jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
         ),
-        grid=(q_pad // query_tile, c // col_block),
-        in_specs=[
-            pl.BlockSpec((query_tile, w), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, L, col_block), lambda i, j: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((query_tile, col_block), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, col_block), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(packed_q, gallery_g)
+    )(valid_arr, packed_q, gallery_g)
     min1, min2 = outs
     return min1[:q], min2[:q]
 
@@ -166,14 +175,14 @@ def _rescan_groups(packed_q, packed_canonical, group_cols, cols, L, stride,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "valid_n", "repair", "query_tile", "col_block",
+    static_argnames=("k", "repair", "query_tile", "col_block",
                      "interpret", "exact"),
 )
 def groupmin_topk(
     packed_q: jnp.ndarray,
     gallery_g: jnp.ndarray,
     packed_canonical: jnp.ndarray,
-    valid_n: int,
+    valid_n: jnp.ndarray | int,
     k: int = 100,
     repair: int = 16,
     exact: bool = True,
@@ -181,12 +190,15 @@ def groupmin_topk(
     col_block: int = 512,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Group-min top-k scan.
+    """Group-min top-k scan. ``valid_n`` may be traced (sharded shards pass
+    their local counts).
 
-    Returns (dists (Q,k), indices (Q,k), needs_fallback (Q,) bool). When
-    ``exact`` and a query flags more than ``repair`` suspicious groups, its
-    needs_fallback is True and the caller must recompute that query with the
-    sort-based exact path (ops/hamming.py) — everything else is exact.
+    Returns (dists (Q,kk), indices (Q,kk), needs_fallback (Q,) bool), with
+    kk = min(k, capacity). Slots beyond the valid count carry sentinel keys
+    (huge distances). When ``exact`` and a query flags more than ``repair``
+    suspicious groups, its needs_fallback is True and the caller must
+    recompute that query with the sort-based exact path (ops/hamming.py) —
+    everything else is exact.
     """
     q, w = packed_q.shape
     _, L, c = gallery_g.shape
@@ -195,8 +207,8 @@ def groupmin_topk(
         packed_q, gallery_g, valid_n,
         query_tile=query_tile, col_block=col_block, interpret=interpret,
     )
-    kk = min(k, valid_n)
-    neg1, cols1 = jax.lax.top_k(-min1, kk)           # prelim winners
+    kk = min(k, L * c)
+    neg1, _ = jax.lax.top_k(-min1, kk)               # prelim winners
     prelim_keys = -neg1                              # (Q, kk) ascending
     if not exact:
         d = prelim_keys // stride

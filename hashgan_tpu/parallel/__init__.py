@@ -4,4 +4,8 @@ from hashgan_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
-from hashgan_tpu.parallel.sharded_scan import sharded_hamming_topk  # noqa: F401
+from hashgan_tpu.parallel.sharded_scan import (  # noqa: F401
+    shard_grouped_gallery,
+    sharded_groupmin_topk,
+    sharded_hamming_topk,
+)

@@ -85,3 +85,113 @@ def sharded_hamming_topk(
         check_vma=False,
     )
     return fn(packed_q, gallery_t)
+
+
+# ----------------------------------------------------------------------------
+# Sharded group-min engine (the fast exact path, multi-chip)
+# ----------------------------------------------------------------------------
+
+def shard_grouped_gallery(
+    mesh: Mesh,
+    packed: "np.ndarray",
+    axis: str = "data",
+    groups: int = 64,
+    col_multiple: int = 512,
+):
+    """(N, W) canonical codes -> per-shard grouped layouts + canonicals.
+
+    Each shard owns a contiguous slice of items (so local index order ==
+    global index order within the shard — tie-breaks stay exact). Returns
+    (grouped (nd, W, L, C_loc), canon (nd, n_loc, W), valids (nd,), n_loc),
+    all device_put sharded on their leading axis.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from hashgan_tpu.ops.groupmin import to_grouped_layout
+
+    nd = mesh.shape[axis]
+    n, w = packed.shape
+    unit = groups * col_multiple
+    n_loc = max(1, -(-n // (nd * unit))) * unit
+    total = n_loc * nd
+    if total != n:
+        packed = np.concatenate(
+            [packed, np.zeros((total - n, w), dtype=np.uint32)], axis=0
+        )
+    slices = packed.reshape(nd, n_loc, w)
+    grouped = np.stack(
+        [to_grouped_layout(slices[r], groups, col_multiple) for r in range(nd)]
+    )
+    valids = np.clip(n - np.arange(nd) * n_loc, 0, n_loc).astype(np.int32)
+    sh = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+    grouped_dev = jax.device_put(grouped, sh(P(axis, None, None, None)))
+    canon_dev = jax.device_put(slices, sh(P(axis, None, None)))
+    valids_dev = jax.device_put(valids, sh(P(axis)))
+    return grouped_dev, canon_dev, valids_dev, n_loc
+
+
+def sharded_groupmin_topk(
+    mesh: Mesh,
+    packed_q: jnp.ndarray,
+    grouped: jnp.ndarray,
+    canon: jnp.ndarray,
+    valids: jnp.ndarray,
+    n: int,
+    k: int = 100,
+    repair: int = 16,
+    axis: str = "data",
+    query_tile: int = 32,
+    col_block: int = 512,
+    interpret: bool = False,
+    exact: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Group-min exact top-k over a contiguously sharded gallery.
+
+    Each chip scans its resident shard with the in-kernel group-min engine,
+    then k candidates per chip ride ICI (all_gather) into an exact global
+    merge on every chip. Returns (dists, global indices, fallback (Q,)):
+    fallback marks queries needing the sort-based exact recompute (rare,
+    see ops/groupmin.py).
+    """
+    from hashgan_tpu.ops.groupmin import groupmin_topk
+
+    nd = mesh.shape[axis]
+    n_loc = canon.shape[1]
+    w = packed_q.shape[1]
+    max_d = 32 * w
+    stride_g = nd * n_loc + 1
+    assert (max_d + 1) * stride_g + nd * n_loc < 2**31, "gallery too large"
+    kk = min(k, n_loc)
+
+    def local(q, g, cn, v):
+        g, cn, v = g[0], cn[0], v[0]
+        d, i, fb = groupmin_topk(
+            q, g, cn, v, k=kk, repair=repair, interpret=interpret,
+            query_tile=query_tile, col_block=col_block, exact=exact,
+        )
+        r = jax.lax.axis_index(axis)
+        key = jnp.where(
+            d <= max_d,
+            d * jnp.int32(stride_g) + (i + r * n_loc),
+            jnp.iinfo(jnp.int32).max,
+        )
+        keys = jax.lax.all_gather(key, axis)          # (nd, Q, kk)
+        fbs = jax.lax.all_gather(fb, axis).any(axis=0)
+        cat = jnp.moveaxis(keys, 0, 1).reshape(q.shape[0], -1)
+        negk, _ = jax.lax.top_k(-cat, min(k, nd * kk))
+        fin = -negk
+        is_sentinel = fin == jnp.iinfo(jnp.int32).max
+        d_out = jnp.where(is_sentinel, max_d + 1, fin // jnp.int32(stride_g))
+        i_out = jnp.where(is_sentinel, n, fin % jnp.int32(stride_g))
+        return d_out, i_out, fbs
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None, None, None),
+                  P(axis, None, None), P(axis)),
+        out_specs=(P(None, None), P(None, None), P(None,)),
+        check_vma=False,
+    )
+    return fn(packed_q, grouped, canon, valids)
