@@ -8,3 +8,13 @@ from hashgan_tpu.eval.map import (  # noqa: F401
     device_map_at_r,
     device_precision_at_radius,
 )
+from hashgan_tpu.eval.streaming import (  # noqa: F401
+    device_distance_histograms,
+    pr_curve_from_hist,
+    precision_at_radius_from_hist,
+    tie_aware_map,
+)
+from hashgan_tpu.eval.sample_quality import (  # noqa: F401
+    inception_score_from_logits,
+    sample_quality_report,
+)

@@ -38,10 +38,22 @@ class AlexNetEncoder(nn.Module):
     bits: int = 48
     dtype: Dtype = jnp.float32
     dropout_rate: float = 0.5
+    # Reference parity: resize inputs to 227x227 before conv1 so fc6/fc7
+    # shapes match bvlc_alexnet.npy. 0 disables (dev-scale images run the
+    # conv stack at native size with adaptive pools).
+    input_resize: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         h = x.astype(self.dtype)  # mean-subtracted pixels (preprocess.py)
+        if self.input_resize and h.shape[1] != self.input_resize:
+            import jax
+
+            h = jax.image.resize(
+                h,
+                (h.shape[0], self.input_resize, self.input_resize, h.shape[3]),
+                method="bilinear",
+            )
         h = nn.Conv(96, (11, 11), strides=(4, 4), padding="VALID",
                     dtype=self.dtype, name="conv1")(h)
         h = nn.relu(h)

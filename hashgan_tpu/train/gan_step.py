@@ -29,7 +29,7 @@ def make_gan_cycle(generator, discriminator, cfg: Config) -> Callable:
     labels (n_critic+1, B, K), rng) -> (state, metrics)``."""
     gan = cfg.gan
     multi = cfg.data.multi_label
-    g_tx, d_tx = make_gan_tx(gan), make_gan_tx(gan)
+    g_tx, d_tx = make_gan_tx(gan), make_gan_tx(gan, updates_per_iter=gan.n_critic)
 
     def gen_fake(g_params, g_stats, z, labels):
         # Train-mode BN (batch stats) but discard stat updates during critic

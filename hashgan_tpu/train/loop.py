@@ -238,8 +238,17 @@ class Experiment:
             gal.save(save_path)
         return gal
 
-    def evaluate(self) -> Dict[str, float]:
-        from hashgan_tpu.eval import device_map_at_r, device_precision_at_radius
+    def evaluate(self, streaming_threshold: int = 200_000) -> Dict[str, float]:
+        """Hamming-ranking eval: exact MAP@R for small/medium galleries,
+        tie-aware streaming MAP (eval/streaming.py) beyond
+        ``streaming_threshold`` items; P@H<=r always exact; PR curve dumped
+        to the workdir when cfg.eval.pr_curve."""
+        import numpy as _np
+
+        from hashgan_tpu.eval import (
+            device_map_at_r,
+            device_precision_at_radius,
+        )
 
         cfg = self.cfg
         codes_q = self.encode_split("query")
@@ -248,14 +257,50 @@ class Experiment:
         pg = pack_codes(jnp.asarray(codes_db))
         qlab = jnp.asarray(self.splits["query"].labels)
         dlab = jnp.asarray(self.splits["database"].labels)
-        m = float(device_map_at_r(pq, pg, qlab, dlab, R=cfg.eval.R))
-        p = float(
-            device_precision_at_radius(
-                pq, pg, qlab, dlab, radius=cfg.eval.precision_radius
+        n_db = pg.shape[0]
+        if n_db <= streaming_threshold:
+            m = float(device_map_at_r(pq, pg, qlab, dlab, R=cfg.eval.R))
+            p = float(
+                device_precision_at_radius(
+                    pq, pg, qlab, dlab, radius=cfg.eval.precision_radius
+                )
             )
-        )
-        return {f"map_at_{cfg.eval.R}": m,
-                f"precision_at_h{cfg.eval.precision_radius}": p}
+            metrics = {f"map_at_{cfg.eval.R}": m,
+                       f"precision_at_h{cfg.eval.precision_radius}": p}
+            if cfg.eval.pr_curve:
+                self._dump_pr_curve(pq, pg, qlab, dlab)
+        else:
+            from hashgan_tpu.eval import (
+                device_distance_histograms,
+                precision_at_radius_from_hist,
+                pr_curve_from_hist,
+                tie_aware_map,
+            )
+
+            n_hist, r_hist = device_distance_histograms(pq, pg.T, qlab, dlab)
+            m = float(tie_aware_map(n_hist, r_hist, cfg.eval.R))
+            p = float(precision_at_radius_from_hist(
+                n_hist, r_hist, cfg.eval.precision_radius
+            ))
+            metrics = {f"map_at_{cfg.eval.R}_tie_aware": m,
+                       f"precision_at_h{cfg.eval.precision_radius}": p}
+            if cfg.eval.pr_curve:
+                prec, rec = pr_curve_from_hist(
+                    _np.asarray(n_hist), _np.asarray(r_hist)
+                )
+                _np.savez(os.path.join(self.workdir, "pr_curve.npz"),
+                          precision=prec, recall=rec)
+        return metrics
+
+    def _dump_pr_curve(self, pq, pg, qlab, dlab) -> None:
+        from hashgan_tpu.eval import device_distance_histograms
+        from hashgan_tpu.eval.streaming import pr_curve_from_hist
+        import numpy as _np
+
+        n_hist, r_hist = device_distance_histograms(pq, pg.T, qlab, dlab)
+        prec, rec = pr_curve_from_hist(_np.asarray(n_hist), _np.asarray(r_hist))
+        _np.savez(os.path.join(self.workdir, "pr_curve.npz"),
+                  precision=prec, recall=rec)
 
     # ------------------------------------------------------------------
     # Checkpoint / resume

@@ -44,9 +44,20 @@ def _subtree_mask(params: Dict, predicate: Callable[[str], bool]) -> Dict:
     }
 
 
-def make_gan_tx(cfg: GanConfig) -> optax.GradientTransformation:
+def make_gan_tx(
+    cfg: GanConfig, updates_per_iter: int = 1
+) -> optax.GradientTransformation:
+    """Adam with linear lr decay over the run.
+
+    optax schedules count OPTIMIZER UPDATES, but the reference decays lr per
+    generator iteration — and the critic takes n_critic updates per
+    iteration. ``updates_per_iter`` stretches the horizon accordingly
+    (without it the critic's lr hits zero at iters/n_critic and the
+    generator then trains against a frozen critic — observed as the
+    Wasserstein estimate flipping sign).
+    """
     if cfg.decay_lr:
-        lr = optax.linear_schedule(cfg.lr, 0.0, cfg.iters)
+        lr = optax.linear_schedule(cfg.lr, 0.0, cfg.iters * updates_per_iter)
     else:
         lr = cfg.lr
     return optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
@@ -99,7 +110,7 @@ def create_gan_state(
     g_vars = generator.init(rg, z, y, train=True)
     x = jnp.zeros((2,) + tuple(image_shape), jnp.float32)
     d_vars = discriminator.init(rd, x)
-    g_tx, d_tx = make_gan_tx(cfg), make_gan_tx(cfg)
+    g_tx, d_tx = make_gan_tx(cfg), make_gan_tx(cfg, updates_per_iter=cfg.n_critic)
     return GanState(
         g_params=g_vars["params"],
         g_stats=g_vars.get("batch_stats", {}),
