@@ -54,6 +54,28 @@ def cmd_eval(args) -> None:
     print(json.dumps(exp.evaluate()))
 
 
+def cmd_encode(args) -> None:
+    """Encode a split to continuous + packed codes (.npz) — the reference's
+    .npy code dumps (SURVEY.md C21)."""
+    import numpy as np
+
+    from hashgan_tpu.ops.pack import pack_codes
+    import jax.numpy as jnp
+
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = _load_config(args.config)
+    exp = Experiment(cfg, workdir=args.workdir)
+    exp.restore_checkpoint()
+    codes = exp.encode_split(args.split)
+    packed = np.asarray(pack_codes(jnp.asarray(codes)))
+    np.savez(
+        args.out, codes=codes, packed=packed,
+        labels=exp.splits[args.split].labels, bits=cfg.encoder.bits,
+    )
+    print(json.dumps({"split": args.split, "n": len(codes), "path": args.out}))
+
+
 def cmd_build_index(args) -> None:
     from hashgan_tpu.train.loop import Experiment
 
@@ -108,6 +130,14 @@ def main(argv=None) -> None:
     e.add_argument("--config", required=True)
     e.add_argument("--workdir", default=None)
     e.set_defaults(fn=cmd_eval)
+
+    n = sub.add_parser("encode", help="dump a split's codes to .npz")
+    n.add_argument("--config", required=True)
+    n.add_argument("--workdir", default=None)
+    n.add_argument("--split", choices=("train", "query", "database"),
+                   default="query")
+    n.add_argument("--out", required=True)
+    n.set_defaults(fn=cmd_encode)
 
     b = sub.add_parser("build-index", help="encode database -> packed gallery")
     b.add_argument("--config", required=True)

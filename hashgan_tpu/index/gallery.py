@@ -154,7 +154,7 @@ def build_gallery_from_packed(
     if mesh is None or mesh.size == 1:
         from hashgan_tpu.ops.groupmin import to_grouped_layout
 
-        grouped = to_grouped_layout(packed[:n], groups=64, col_multiple=512)
+        grouped = to_grouped_layout(packed[:n], groups=128, col_multiple=256)
         n_tot = grouped.shape[1] * grouped.shape[2]
         canon = np.concatenate(
             [packed[:n], np.zeros((n_tot - n, w), dtype=np.uint32)], axis=0
@@ -165,7 +165,7 @@ def build_gallery_from_packed(
         from hashgan_tpu.parallel.sharded_scan import shard_grouped_gallery
 
         grouped_dev, canon_dev, valids_dev, _ = shard_grouped_gallery(
-            mesh, packed[:n], groups=64, col_multiple=512
+            mesh, packed[:n], groups=128, col_multiple=256
         )
         # mesh galleries store the sharded engine inputs as a tuple
         gallery_grouped = (grouped_dev, canon_dev, valids_dev)

@@ -40,7 +40,7 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 def to_grouped_layout(
-    packed: np.ndarray, groups: int = 64, col_multiple: int = 512
+    packed: np.ndarray, groups: int = 128, col_multiple: int = 256
 ) -> np.ndarray:
     """(N, W) canonical packed codes -> (W, L, C) grouped scan layout.
 
@@ -104,7 +104,7 @@ def groupmin_scan(
     gallery_g: jnp.ndarray,
     valid_n: jnp.ndarray | int,
     query_tile: int = 32,
-    col_block: int = 512,
+    col_block: int = 256,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(Q, W) x (W, L, C) -> (min_keys, min2_keys), each (Q, C) int32.
@@ -187,7 +187,7 @@ def groupmin_topk(
     repair: int = 16,
     exact: bool = True,
     query_tile: int = 32,
-    col_block: int = 512,
+    col_block: int = 256,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Group-min top-k scan. ``valid_n`` may be traced (sharded shards pass

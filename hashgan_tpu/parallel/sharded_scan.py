@@ -95,8 +95,8 @@ def shard_grouped_gallery(
     mesh: Mesh,
     packed: "np.ndarray",
     axis: str = "data",
-    groups: int = 64,
-    col_multiple: int = 512,
+    groups: int = 128,
+    col_multiple: int = 256,
 ):
     """(N, W) canonical codes -> per-shard grouped layouts + canonicals.
 
@@ -142,7 +142,7 @@ def sharded_groupmin_topk(
     repair: int = 16,
     axis: str = "data",
     query_tile: int = 32,
-    col_block: int = 512,
+    col_block: int = 256,
     interpret: bool = False,
     exact: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -301,6 +301,22 @@ class Experiment:
         prec, rec = pr_curve_from_hist(_np.asarray(n_hist), _np.asarray(r_hist))
         _np.savez(os.path.join(self.workdir, "pr_curve.npz"),
                   precision=prec, recall=rec)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(5, 4))
+            ax.plot(rec, prec)
+            ax.set_xlabel("recall")
+            ax.set_ylabel("precision")
+            ax.set_title(f"{self.cfg.name} PR over Hamming radii")
+            fig.tight_layout()
+            fig.savefig(os.path.join(self.workdir, "pr_curve.jpg"))
+            plt.close(fig)
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     # Checkpoint / resume
