@@ -1,1 +1,2 @@
 from hashgan_tpu.index.gallery import PackedGallery, build_gallery  # noqa: F401
+from hashgan_tpu.index.engine import QueryEngine, QueryResult  # noqa: F401
