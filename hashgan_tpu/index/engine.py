@@ -9,7 +9,7 @@ numpy MAP evaluator — SURVEY.md §1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -45,9 +45,6 @@ class QueryEngine:
         gallery_path: str,
         mesh=None,
     ) -> "QueryEngine":
-        import jax
-
-        from hashgan_tpu.models import build_encoder
         from hashgan_tpu.train.loop import Experiment
 
         exp = Experiment(cfg, workdir=workdir, use_mesh=mesh is not None)

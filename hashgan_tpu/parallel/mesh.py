@@ -13,7 +13,7 @@ This module is the single home for topology; everything else takes a Mesh.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -16,7 +16,6 @@ the forced-CPU device grid).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

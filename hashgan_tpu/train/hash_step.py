@@ -11,7 +11,7 @@ function. uint8 batches are the only host->device traffic.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
