@@ -65,14 +65,23 @@ def make_synthetic(
         templates = _class_templates(rng, n_classes, size, channels)
 
     if multi_label:
-        # 1-3 active labels per example (NUS-WIDE-like).
+        # 1-3 active labels per example (NUS-WIDE-like). Each active concept
+        # renders into its own spatial region (like objects in a scene) —
+        # averaging templates instead washes the signal out to near-chance.
         labels = np.zeros((n, n_classes), dtype=np.float32)
         counts = rng.integers(1, 4, size=n)
+        base = np.zeros((n, size, size, channels), dtype=np.float32)
+        half = size // 2
+        quads = [(0, 0), (0, half), (half, 0), (half, half)]
         for i in range(n):
             idx = rng.choice(n_classes, size=counts[i], replace=False)
             labels[i, idx] = 1.0
-        mix = labels / labels.sum(axis=1, keepdims=True)
-        base = np.einsum("nk,khwc->nhwc", mix, templates)
+            base[i] = templates[idx[0]]  # first concept fills the canvas
+            for j, cls in enumerate(idx[1:]):
+                y, x = quads[int(rng.integers(0, 4))] if counts[i] > 3 else quads[j + 1]
+                base[i, y : y + half, x : x + half] = (
+                    templates[cls][y : y + half, x : x + half]
+                )
     else:
         cls = rng.integers(0, n_classes, size=n)
         labels = np.eye(n_classes, dtype=np.float32)[cls]

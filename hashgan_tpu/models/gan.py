@@ -73,12 +73,18 @@ class GenResBlock(nn.Module):
 
 
 class Generator(nn.Module):
-    """z, label-condition -> image in [-1, 1]."""
+    """z, label-condition -> image in [-1, 1].
+
+    Conditioning enters twice: a label embedding concatenated to z (drives
+    the global layout) and conditional BatchNorm in every up-block (drives
+    per-feature modulation). CondBN alone conditions weakly early in
+    training because its gain/bias tables start at identity."""
 
     image_size: int = 32
     n_labels: int = 10
     dim: int = 128
     out_channels: int = 3
+    label_embed_dim: int = 32
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -87,6 +93,11 @@ class Generator(nn.Module):
         self, z: jnp.ndarray, labels: jnp.ndarray, train: bool = True
     ) -> jnp.ndarray:
         n_up = int(math.log2(self.image_size // 4))
+        if self.label_embed_dim:
+            emb = nn.Dense(self.label_embed_dim, name="label_embed")(
+                labels.astype(jnp.float32)
+            )
+            z = jnp.concatenate([z, emb], axis=-1)
         x = nn.Dense(4 * 4 * self.dim, dtype=self.dtype, name="input")(z)
         x = x.reshape(-1, 4, 4, self.dim)
         for i in range(n_up):
