@@ -45,6 +45,36 @@ def test_restore_without_checkpoint_returns_false(tmp_path):
     assert exp.restore_checkpoint() is False
 
 
+def test_gan_state_resume(tmp_path):
+    from hashgan_tpu.configs import GanConfig
+    import dataclasses as dc
+    import jax
+
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = dc.replace(
+        _cfg(str(tmp_path / "g")),
+        gan=GanConfig(dim=8, z_dim=16, n_critic=2, iters=50,
+                      compute_dtype="float32"),
+        use_gan=True,
+    )
+    exp = Experiment(cfg)
+    exp.train_gan(iters=2)
+    exp.save_checkpoint()
+    exp2 = Experiment(cfg)
+    assert exp2.restore_checkpoint()
+    assert int(np.asarray(exp2.gan_state.step)) == 2
+    a = jax.device_get(exp.gan_state.d_params)
+    b = jax.device_get(exp2.gan_state.d_params)
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # training continues from the restored state
+    exp2.train_gan(iters=1)
+    assert int(np.asarray(exp2.gan_state.step)) == 3
+
+
 def test_gallery_artifact_checkpoint(tmp_path):
     from hashgan_tpu.utils.checkpoint import load_gallery, save_gallery
 
