@@ -25,3 +25,20 @@ Reference parity map lives in SURVEY.md section 2 (components C1-C24).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import hashgan_tpu` jax-free)."""
+    if name == "Experiment":
+        from hashgan_tpu.train.loop import Experiment
+
+        return Experiment
+    if name == "QueryEngine":
+        from hashgan_tpu.index.engine import QueryEngine
+
+        return QueryEngine
+    if name in ("Config", "get_config", "load_yaml", "list_presets"):
+        import hashgan_tpu.configs as _c
+
+        return getattr(_c, name)
+    raise AttributeError(name)

@@ -64,7 +64,7 @@ def run_bench(
 
     def scan_groupmin():
         return groupmin_topk(
-            packed_q, gallery_g, packed_canonical, valid_n=n, k=k, repair=16
+            packed_q, gallery_g, packed_canonical, valid_n=n, k=k, repair=8
         )
 
     def scan_slab(mode):

@@ -68,7 +68,7 @@ class PackedGallery:
                 grouped, canon, valids = self.gallery_grouped
                 d, i, fb = sharded_groupmin_topk(
                     self.mesh, packed_q, grouped, canon, valids,
-                    n=self.n, k=k, repair=min(k, 16),
+                    n=self.n, k=k, repair=min(k, 8),
                     exact=(mode == "exact"),
                 )
                 if mode == "exact" and bool(jnp.any(fb)):
@@ -92,7 +92,7 @@ class PackedGallery:
 
             d, i, fb = groupmin_topk(
                 packed_q, self.gallery_grouped, self.packed_canonical,
-                valid_n=self.n, k=k, repair=min(k, 16),
+                valid_n=self.n, k=k, repair=min(k, 8),
                 exact=(mode == "exact"),
             )
             if mode == "exact" and bool(jnp.any(fb)):

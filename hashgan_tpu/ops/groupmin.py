@@ -63,16 +63,26 @@ def to_grouped_layout(
     )
 
 
-def _groupmin_kernel(valid_ref, q_ref, g_ref, min_ref, min2_ref, *, stride,
-                     cols):
-    """valid (1,) int32 SMEM; q (Tq, W) uint32; g (W, L, Cb) uint32;
+# Padding addend base: padded items get key >= PAD_BASE, strictly above any
+# valid key (max valid key = max_d*stride + n < (b+1)*(n+1) asserted < PAD_BASE
+# range) while staying clear of int32 overflow after + max_d*stride.
+PAD_BASE = 1_000_000_000
+
+
+def build_addend(L: int, cols: int, valid_n) -> jnp.ndarray:
+    """(L, cols) int32 key addend: idx for valid items, PAD_BASE + idx for
+    padding — precomputed once per gallery so the kernel does one add
+    instead of iota + index math + mask. ``valid_n`` may be traced."""
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (L, cols), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (L, cols), 1)
+    idx = s_ids * cols + c_ids
+    return jnp.where(idx < valid_n, idx, idx + PAD_BASE)
+
+
+def _groupmin_kernel(q_ref, g_ref, add_ref, min_ref, min2_ref, *, stride):
+    """q (Tq, W) uint32; g (W, L, Cb) uint32; add (L, Cb) int32;
     outs (Tq, Cb) int32."""
     w_words = q_ref.shape[1]
-    L = g_ref.shape[1]
-    cb = g_ref.shape[2]
-    tq = q_ref.shape[0]
-    j = pl.program_id(1)
-    valid_n = valid_ref[0]
 
     dist = None
     for w in range(w_words):  # static unroll
@@ -80,13 +90,7 @@ def _groupmin_kernel(valid_ref, q_ref, g_ref, min_ref, min2_ref, *, stride,
         p = jax.lax.population_count(x).astype(jnp.int32)
         dist = p if dist is None else dist + p
 
-    # global idx = s * cols + (j * cb + c)
-    s_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, L, cb), 1)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, L, cb), 2)
-    idx = s_ids * cols + (j * cb + c_ids)
-    key = dist * stride + idx
-    key = jnp.where(idx < valid_n, key, INT32_MAX)
-
+    key = dist * stride + add_ref[:][None, :, :]
     min1 = jnp.min(key, axis=1)
     is_min = key == min1[:, None, :]
     key2 = jnp.where(is_min, INT32_MAX, key)
@@ -109,13 +113,15 @@ def groupmin_scan(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(Q, W) x (W, L, C) -> (min_keys, min2_keys), each (Q, C) int32.
 
-    valid_n may be traced (it rides a scalar-prefetch SMEM slot), so the
-    same compiled kernel serves any shard's validity count."""
+    valid_n may be traced: it enters via the precomputed addend input (one
+    in-kernel add replaces iota + index math + padding mask)."""
     q, w = packed_q.shape
     _, L, c = gallery_g.shape
     n_total = L * c
     stride = n_total + 1
-    assert (32 * w + 1) * stride + n_total < 2**31, "gallery too large for int32 key"
+    # Valid keys must stay below PAD_BASE (padding region), which also
+    # bounds int32: caps a single gallery/shard at ~7.7M items at 128 bits.
+    assert (32 * w + 1) * stride + n_total < PAD_BASE, "gallery too large"
     assert c % col_block == 0, (
         f"grouped layout cols {c} not a multiple of col_block {col_block}; "
         "build the layout with to_grouped_layout(col_multiple=col_block)"
@@ -124,33 +130,31 @@ def groupmin_scan(
     if q_pad != q:
         packed_q = jnp.pad(packed_q, ((0, q_pad - q), (0, 0)))
 
-    kernel = functools.partial(_groupmin_kernel, stride=stride, cols=c)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(q_pad // query_tile, c // col_block),
-        in_specs=[
-            pl.BlockSpec((query_tile, w), lambda i, j, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, L, col_block), lambda i, j, *_: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((query_tile, col_block), lambda i, j, *_: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, col_block), lambda i, j, *_: (i, j),
-                         memory_space=pltpu.VMEM),
-        ),
-    )
-    valid_arr = jnp.asarray(valid_n, dtype=jnp.int32).reshape(1)
+    addend = build_addend(L, c, valid_n)
+    kernel = functools.partial(_groupmin_kernel, stride=stride)
     outs = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
             jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
         ),
-        grid_spec=grid_spec,
+        grid=(q_pad // query_tile, c // col_block),
+        in_specs=[
+            pl.BlockSpec((query_tile, w), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, L, col_block), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, col_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((query_tile, col_block), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, col_block), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
-    )(valid_arr, packed_q, gallery_g)
+    )(packed_q, gallery_g, addend)
     min1, min2 = outs
     return min1[:q], min2[:q]
 
@@ -184,7 +188,7 @@ def groupmin_topk(
     packed_canonical: jnp.ndarray,
     valid_n: jnp.ndarray | int,
     k: int = 100,
-    repair: int = 16,
+    repair: int = 8,
     exact: bool = True,
     query_tile: int = 32,
     col_block: int = 256,
