@@ -89,6 +89,25 @@ def test_cli_train_build_query(tiny_yaml, tmp_path, capsys):
     assert len(rec["neighbors"]) == 3
 
 
+def test_cli_eval_and_encode(tiny_yaml, tmp_path, capsys):
+    from hashgan_tpu.cli import main
+
+    main(["train", "--config", tiny_yaml, "--stage", "2", "--iters", "5"])
+    capsys.readouterr()
+    main(["eval", "--config", tiny_yaml])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "map_at_50" in out
+
+    codes_path = str(tmp_path / "codes.npz")
+    main(["encode", "--config", tiny_yaml, "--split", "query",
+          "--out", codes_path])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n"] == 24
+    z = np.load(codes_path)
+    assert z["codes"].shape == (24, 32)
+    assert z["packed"].shape == (24, 1)
+
+
 def test_cli_yaml_preset_roundtrip(tiny_yaml):
     from hashgan_tpu.configs import load_yaml
 
