@@ -57,6 +57,9 @@ def save_gallery(path: str, packed: np.ndarray, labels: np.ndarray,
              bits=np.int32(bits))
 
 
-def load_gallery(path: str):
-    z = np.load(path)
+def load_gallery(path: str, mmap: bool = False):
+    """Load a gallery artifact. ``mmap=True`` memory-maps the packed codes
+    (read without copying — for galleries larger than RAM, paired with the
+    native CPU scanner in ops/native.py)."""
+    z = np.load(path, mmap_mode="r" if mmap else None)
     return z["packed"], z["labels"], int(z["bits"])

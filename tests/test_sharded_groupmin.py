@@ -56,3 +56,27 @@ def test_sharded_groupmin_zero_query_vs_zero_padding():
             continue
         order = np.argsort(d_full[qi], kind="stable")[:20]
         np.testing.assert_array_equal(i[qi], order)
+
+
+def test_sharded_groupmin_approx_mode():
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(7)
+    n = 1024
+    pg = rng.integers(0, 2**32, size=(n, 2), dtype=np.uint32)
+    pq = rng.integers(0, 2**32, size=(6, 2), dtype=np.uint32)
+    grouped, canon, valids, _ = shard_grouped_gallery(
+        mesh, pg, groups=4, col_multiple=16
+    )
+    d, i, fb = sharded_groupmin_topk(
+        mesh, jnp.asarray(pq), grouped, canon, valids, n=n, k=20,
+        repair=8, interpret=True, query_tile=8, col_block=16, exact=False,
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    assert (i < n).all()
+    # group-min preliminary selection: high recall vs exact on random data
+    d_full = hamming_distance_np(pq, pg)
+    rec = np.mean([
+        len(set(i[qi]) & set(np.argsort(d_full[qi], kind="stable")[:20])) / 20
+        for qi in range(6)
+    ])
+    assert rec > 0.8
