@@ -53,6 +53,7 @@ class GanConfig:
     beta2: float = 0.9
     iters: int = 100_000                  # generator iterations
     decay_lr: bool = True                 # linear lr decay over iters
+    ema_decay: float = 0.0                # generator weight EMA (0 = off)
     # bf16 matmuls on MXU; params + loss stay f32.
     compute_dtype: str = "bfloat16"
 

@@ -104,9 +104,17 @@ def make_gan_cycle(generator, discriminator, cfg: Config) -> Callable:
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
+        g_ema = state.g_ema
+        if gan.ema_decay > 0 and g_ema is not None:
+            decay = gan.ema_decay
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1.0 - decay) * p, g_ema, g_params
+            )
+
         new_state = GanState(
             g_params=g_params, g_stats=g_stats, g_opt=g_opt,
             d_params=d_params, d_opt=d_opt, step=state.step + 1,
+            g_ema=g_ema,
         )
         metrics = {k: v[-1] for k, v in d_metrics.items()}
         metrics.update(g_metrics)

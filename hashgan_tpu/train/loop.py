@@ -172,8 +172,13 @@ class Experiment:
         n_per = max(1, 64 // k)
         labels = np.repeat(np.eye(k, dtype=np.float32), n_per, axis=0)[:64]
         z = jax.random.normal(jax.random.key(0), (labels.shape[0], self.cfg.gan.z_dim))
+        g_params = (
+            self.gan_state.g_ema
+            if self.gan_state.g_ema is not None
+            else self.gan_state.g_params
+        )
         imgs = self._sample(
-            self.gan_state.g_params, self.gan_state.g_stats, z, jnp.asarray(labels)
+            g_params, self.gan_state.g_stats, z, jnp.asarray(labels)
         )
         save_image_grid(
             np.asarray(imgs), os.path.join(self.workdir, f"samples_{step}.png")

@@ -33,6 +33,7 @@ class GanState(struct.PyTreeNode):
     d_params: Any
     d_opt: Any
     step: jnp.ndarray
+    g_ema: Any = None      # EMA of g_params (sampling weights) when enabled
 
 
 def _subtree_mask(params: Dict, predicate: Callable[[str], bool]) -> Dict:
@@ -118,4 +119,5 @@ def create_gan_state(
         d_params=d_vars["params"],
         d_opt=d_tx.init(d_vars["params"]),
         step=jnp.zeros((), jnp.int32),
+        g_ema=g_vars["params"] if cfg.ema_decay > 0 else None,
     )

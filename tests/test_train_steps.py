@@ -117,3 +117,26 @@ def test_encoder_step_with_gan_samples():
     )
     assert np.isfinite(float(metrics["hash_loss"]))
     assert int(estate.step) == 1
+
+
+def test_gan_ema_tracks_generator():
+    import dataclasses as dc
+
+    cfg = tiny_config(use_gan=True)
+    cfg = dc.replace(cfg, gan=dc.replace(cfg.gan, ema_decay=0.9))
+    gen = Generator(image_size=32, n_labels=4, dim=16)
+    disc = Discriminator(image_size=32, n_labels=4, dim=16)
+    state = create_gan_state(jax.random.key(0), gen, disc, cfg.gan, (32, 32, 3), 4)
+    assert state.g_ema is not None
+    cycle = make_gan_cycle(gen, disc, cfg)
+    rng = np.random.default_rng(0)
+    n, b = cfg.gan.n_critic + 1, 8
+    imgs = jnp.asarray(rng.integers(0, 255, (n, b, 32, 32, 3)), dtype=jnp.uint8)
+    labs = jnp.asarray(np.eye(4)[rng.integers(0, 4, (n, b))], dtype=jnp.float32)
+    state, _ = cycle(state, imgs, labs, jax.random.key(1))
+    # EMA moved toward params but is not equal to them
+    diffs = jax.tree_util.tree_map(
+        lambda e, p: float(np.abs(np.asarray(e) - np.asarray(p)).max()),
+        state.g_ema, state.g_params,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
