@@ -119,5 +119,10 @@ def create_gan_state(
         d_params=d_vars["params"],
         d_opt=d_tx.init(d_vars["params"]),
         step=jnp.zeros((), jnp.int32),
-        g_ema=g_vars["params"] if cfg.ema_decay > 0 else None,
+        # distinct buffers (not aliases of g_params): the cycle donates the
+        # state, and aliased leaves would be donated twice
+        g_ema=(
+            jax.tree_util.tree_map(jnp.copy, g_vars["params"])
+            if cfg.ema_decay > 0 else None
+        ),
     )
