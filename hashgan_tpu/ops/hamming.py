@@ -188,7 +188,8 @@ def hamming_scan_topk(
         if mode == "approx":
             # ApproxTopK wants floats; distances <= 129 are exact in f32.
             vals, pos_in_slab = jax.lax.approx_min_k(
-                d.astype(jnp.float32), k, recall_target=recall_target
+                d.astype(jnp.float32), min(k, slab),
+                recall_target=recall_target,
             )
             cand_d = vals.astype(jnp.int32)
             cand_i = jnp.take_along_axis(idx, pos_in_slab, axis=1)
