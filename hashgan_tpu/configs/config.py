@@ -78,6 +78,9 @@ class HashLossConfig:
     similarity: str = "cosine"            # cosine | inner_product
     alpha: float = 5.0                    # logistic scale on similarity (10 collapses at high lr)
     class_balance: bool = True            # w_ij = |S|/|S1| vs |S|/|S0|
+    class_balance_cap: float = 25.0       # clip balance weights (many-class
+                                          # tasks: w_pos ~ n_classes blasts the
+                                          # 10x-lr hash layer into saturation)
     quantization_weight: float = 0.01     # push codes toward +-1
     balance_weight: float = 2.0           # per-bit batch-mean^2 (anti-collapse)
 

@@ -30,6 +30,7 @@ def wml_pairwise_loss(
     alpha: float = 10.0,
     similarity: str = "cosine",
     class_balance: bool = True,
+    class_balance_cap: float = 25.0,
     quantization_weight: float = 0.01,
     balance_weight: float = 0.0,
     codes_b: jnp.ndarray | None = None,
@@ -67,6 +68,12 @@ def wml_pairwise_loss(
         n_neg = n_all - n_pos
         w_pos = jnp.where(n_pos > 0, n_all / jnp.maximum(n_pos, 1.0), 0.0)
         w_neg = jnp.where(n_neg > 0, n_all / jnp.maximum(n_neg, 1.0), 0.0)
+        # Cap: with many classes w_pos ~ n_classes, which overwhelms every
+        # other term and drives the codes into exact tanh saturation (zero
+        # gradient, frozen training). Clipping keeps the rebalancing while
+        # bounding the pull-together force.
+        w_pos = jnp.minimum(w_pos, class_balance_cap)
+        w_neg = jnp.minimum(w_neg, class_balance_cap)
         w = jnp.where(s > 0, w_pos, w_neg) * mask
     else:
         w = mask

@@ -79,6 +79,7 @@ def make_encoder_train_step(
                 alpha=hl.alpha,
                 similarity=hl.similarity,
                 class_balance=hl.class_balance,
+                class_balance_cap=hl.class_balance_cap,
                 quantization_weight=hl.quantization_weight,
                 balance_weight=hl.balance_weight,
             )
