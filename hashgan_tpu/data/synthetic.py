@@ -87,8 +87,19 @@ def make_synthetic(
         labels = np.eye(n_classes, dtype=np.float32)[cls]
         base = templates[cls]
 
-    noise = rng.normal(0.0, noise_scale, size=base.shape)
-    images = np.clip(base + noise, 0, 255).astype(np.uint8)
+    # float32 + chunking: the dev host has one CPU core, and float64 noise
+    # for a 100k x 64px split costs many minutes; f32 halves it and chunking
+    # bounds the working set.
+    images = np.empty(base.shape, dtype=np.uint8)
+    chunk = max(1, (1 << 27) // (base.shape[1] * base.shape[2] * base.shape[3]))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        noise = rng.standard_normal(
+            size=base[lo:hi].shape, dtype=np.float32
+        ) * np.float32(noise_scale)
+        images[lo:hi] = np.clip(
+            base[lo:hi].astype(np.float32) + noise, 0, 255
+        ).astype(np.uint8)
     return SyntheticImageDataset(images=images, labels=labels), templates
 
 

@@ -106,6 +106,12 @@ class ResNetEncoder(nn.Module):
                             name=f"s{stage}b0")(h)
             h = ResNetBlock(self.dim * mult, dtype=self.dtype, name=f"s{stage}b1")(h)
         h = h.mean(axis=(1, 2))
+        # Residual-stream magnitude grows with depth; normalize the pooled
+        # embedding so the 10x-lr hash layer can't saturate tanh in a few
+        # steps (observed: |codes| -> 1.0 and frozen training at 100 classes).
+        h = nn.LayerNorm(dtype=jnp.float32, name="embed_norm")(
+            h.astype(jnp.float32)
+        )
         return HashHead(self.bits, name="hash")(h)
 
 
