@@ -36,6 +36,12 @@ def cmd_train(args) -> None:
     exp = Experiment(cfg, workdir=args.workdir)
     if args.resume:
         exp.restore_checkpoint()
+    elif args.stage == "2" and cfg.use_gan:
+        # The reference's two-step workflow always loads the stage-1
+        # checkpoint before step 2; auto-restore it (Experiment.train_encoder
+        # additionally warns and disables fakes when nothing is restorable).
+        if exp.restore_checkpoint():
+            print("restored stage-1 checkpoint from workdir", file=sys.stderr)
     if args.stage in ("1", "all") and cfg.use_gan:
         exp.train_gan(args.iters)
     if args.stage in ("2", "all"):

@@ -68,6 +68,12 @@ class EncoderConfig:
     hash_lr_multiplier: float = 10.0      # reference: 10x lr on new hash layer
     iters: int = 10_000
     pretrained_npy: Optional[str] = None  # bvlc_alexnet.npy path if available
+    # Reference AlexNet input protocol (SURVEY.md C9/§3.5): resize to
+    # ``resize_base`` (256), random-crop (train) / center-crop (eval) to
+    # ``input_resize`` (227), mean-subtract, flip. 0 disables (images run at
+    # native size); resize_base=0 means "same as input_resize" (pure resize).
+    input_resize: int = 0
+    resize_base: int = 0
     compute_dtype: str = "bfloat16"
 
 
@@ -96,6 +102,9 @@ class TrainConfig:
     seed: int = 0
     use_gan_samples: bool = True          # stage-II: train F on real + fake
     fake_ratio: float = 0.5               # fraction of encoder batch synthetic
+    crop_pad: int = 0                     # pad-and-random-crop aug (0 = off)
+    prefetch: int = 2                     # batches in flight host->device
+    epoch_shuffle: bool = False           # without-replacement epoch sampling
 
 
 @dataclass(frozen=True)

@@ -21,8 +21,15 @@ from hashgan_tpu.data.synthetic import SyntheticImageDataset
 class BatchIterator:
     """Yields (images uint8 (B,H,W,C), labels f32 (B,K)) batches.
 
-    Sampling is with replacement, seeded per step: ``batch(step)`` is pure in
-    (seed, step). ``start_step`` lets a resumed run continue the sequence.
+    Two sampling modes, both step-pure (``batch(step)`` is a function of
+    (seed, step) only, so checkpoint resume replays the exact data order):
+
+    - with replacement (default): per-step uniform draw.
+    - ``epoch_shuffle``: the reference's protocol (SURVEY.md §3.5
+      "shuffle epoch") — a per-epoch permutation without replacement,
+      epoch = step // batches_per_epoch, seeded by (seed, epoch).
+
+    ``start_step`` lets a resumed run continue the sequence.
     """
 
     def __init__(
@@ -31,15 +38,38 @@ class BatchIterator:
         batch_size: int,
         seed: int = 0,
         start_step: int = 0,
+        epoch_shuffle: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.step = start_step
+        self.epoch_shuffle = epoch_shuffle
+        self._perm_cache: Tuple[int, np.ndarray] | None = None
+
+    def _epoch_perm(self, epoch: int) -> np.ndarray:
+        if self._perm_cache is not None and self._perm_cache[0] == epoch:
+            return self._perm_cache[1]
+        rng = np.random.default_rng((self.seed, epoch, 0xE70C))
+        perm = rng.permutation(len(self.dataset))
+        self._perm_cache = (epoch, perm)
+        return perm
 
     def batch(self, step: int) -> Tuple[np.ndarray, np.ndarray]:
-        rng = np.random.default_rng((self.seed, step))
-        idx = rng.integers(0, len(self.dataset), size=self.batch_size)
+        n = len(self.dataset)
+        if self.epoch_shuffle:
+            bpe = max(1, n // self.batch_size)  # drop the ragged remainder
+            epoch, pos = divmod(step, bpe)
+            idx = self._epoch_perm(epoch)[
+                pos * self.batch_size : (pos + 1) * self.batch_size
+            ]
+            if idx.shape[0] < self.batch_size:  # dataset smaller than batch
+                rng = np.random.default_rng((self.seed, step, 0xF111))
+                extra = rng.integers(0, n, size=self.batch_size - idx.shape[0])
+                idx = np.concatenate([idx, extra])
+        else:
+            rng = np.random.default_rng((self.seed, step))
+            idx = rng.integers(0, n, size=self.batch_size)
         return self.dataset.images[idx], self.dataset.labels[idx]
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

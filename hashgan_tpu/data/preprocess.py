@@ -46,6 +46,59 @@ def random_flip(rng: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(flip, images[:, :, ::-1, :], images)
 
 
+def resize_images(images: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Bilinear resize to (size, size). No-op when already that size."""
+    b, h, w, c = images.shape
+    if h == size and w == size:
+        return images
+    return jax.image.resize(images, (b, size, size, c), method="bilinear")
+
+
+def center_crop(images: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Static central crop to (size, size) — the reference's eval-time crop."""
+    b, h, w, c = images.shape
+    if h == size and w == size:
+        return images
+    y = (h - size) // 2
+    x = (w - size) // 2
+    return images[:, y : y + size, x : x + size, :]
+
+
+def random_crop_to(rng: jax.Array, images: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Per-example random crop to (size, size) — the reference's train-time
+    227 crop out of the 256 resize (SURVEY.md §3.5). Static shapes."""
+    b, h, w, c = images.shape
+    if h == size and w == size:
+        return images
+    ry = jax.random.randint(rng, (b,), 0, h - size + 1)
+    rx = jax.random.randint(rng, (b,), 0, w - size + 1)
+
+    def crop_one(img, y, x):
+        return jax.lax.dynamic_slice(img, (y, x, 0), (size, size, c))
+
+    return jax.vmap(crop_one)(images, ry, rx)
+
+
+def alexnet_train_geometry(
+    rng: jax.Array, images: jnp.ndarray, input_resize: int, resize_base: int = 0
+) -> jnp.ndarray:
+    """Reference train protocol: resize to ``resize_base`` then random-crop to
+    ``input_resize``. ``resize_base`` <= ``input_resize`` degenerates to a
+    plain resize."""
+    base = max(resize_base, input_resize)
+    images = resize_images(images, base)
+    return random_crop_to(rng, images, input_resize)
+
+
+def alexnet_eval_geometry(
+    images: jnp.ndarray, input_resize: int, resize_base: int = 0
+) -> jnp.ndarray:
+    """Reference eval protocol: resize to ``resize_base``, center-crop."""
+    base = max(resize_base, input_resize)
+    images = resize_images(images, base)
+    return center_crop(images, input_resize)
+
+
 def random_crop(rng: jax.Array, images: jnp.ndarray, pad: int = 4) -> jnp.ndarray:
     """Pad-and-random-crop augmentation (static shapes; gather by index)."""
     b, h, w, c = images.shape

@@ -112,14 +112,28 @@ def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
     """
     import os
 
-    if cfg.train_list and os.path.exists(cfg.train_list):
+    lists = {
+        ("train", "train_list"): cfg.train_list,
+        ("query", "test_list"): cfg.test_list,
+        ("database", "database_list"): cfg.database_list,
+    }
+    if any(lists.values()):
+        # All three splits must be configured AND present: a half-configured
+        # setup would crash in open(None) or silently mix synthetic splits
+        # into a real-data run.
+        problems = [
+            f"{field}={path!r}" for (_, field), path in lists.items()
+            if path is None or not os.path.exists(path)
+        ]
+        if problems:
+            raise FileNotFoundError(
+                "list-file datasets need all of train/test/database lists "
+                "configured and on disk; missing: " + ", ".join(problems)
+            )
         from hashgan_tpu.data.loader import load_list_dataset
 
-        return {
-            "train": load_list_dataset(cfg.train_list, cfg),
-            "query": load_list_dataset(cfg.test_list, cfg),
-            "database": load_list_dataset(cfg.database_list, cfg),
-        }
+        return {split: load_list_dataset(path, cfg)
+                for (split, _), path in lists.items()}
 
     templates = None
     out: Dict[str, SyntheticImageDataset] = {}

@@ -18,3 +18,9 @@ from hashgan_tpu.eval.sample_quality import (  # noqa: F401
     inception_score_from_logits,
     sample_quality_report,
 )
+from hashgan_tpu.eval.sharded import (  # noqa: F401
+    shard_gallery_for_eval,
+    sharded_distance_histograms,
+    sharded_map_at_r,
+    sharded_precision_at_radius,
+)

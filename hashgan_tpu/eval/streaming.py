@@ -63,19 +63,23 @@ def device_distance_histograms(
     slab: int = 1 << 15,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    valid_n: jnp.ndarray | int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming (Q, b+1) histograms of (total, relevant) per distance.
 
     db_labels: (N, K). The gallery tail may be padded; pass labels only for
     real entries is not possible under static shapes, so db_labels must
     cover gallery_t's N (pad labels with zeros: padding is never relevant,
-    and its distance-bin pollution is avoided by masking idx >= len)."""
+    and its distance-bin pollution is avoided by the ``valid_n`` index mask —
+    defaults to gallery width; may be traced, e.g. a shard's local count)."""
     from hashgan_tpu.ops.hamming import _hamming_pallas, hamming_distance_jnp
 
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     q, w = packed_q.shape
     n = gallery_t.shape[1]
+    if valid_n is None:
+        valid_n = n
     max_d = 32 * w
     n_slabs = -(-n // slab)
     n_pad = n_slabs * slab
@@ -94,7 +98,7 @@ def device_distance_histograms(
         else:
             d = hamming_distance_jnp(packed_q, slab_g.T)
         idx = slab_idx * slab + jax.lax.broadcasted_iota(jnp.int32, (q, slab), 1)
-        valid = idx < n
+        valid = idx < valid_n
         rel = ((query_labels @ slab_lab.T) > 0) & valid
 
         def count_v(v):

@@ -48,13 +48,20 @@ class PackedGallery:
     def topk(
         self, packed_q: jnp.ndarray, k: int = 100,
         slab: int = 1 << 17, use_pallas: bool | None = None,
-        mode: str = "exact",
+        mode: str = "exact", repair: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Top-k scan; entries with index >= n are padding sentinels.
 
         mode: "exact" (default, oracle-bit-identical) or "approx"
         (ApproxTopK selection, ~0.998 recall@100, for latency-critical
-        serving)."""
+        serving).
+
+        repair: group-min rescan capacity. Defaults to k — at which the
+        sort-engine fallback is *provably unreachable* (flagged groups are a
+        subset of the k groups whose min1 <= the k-th best key, of which
+        there are exactly k since composite keys are distinct), so serving
+        latency never cliffs and no host sync happens. Smaller values trade
+        rescan cost for a (host-synced) fallback check."""
         if use_pallas is None:
             import jax as _jax
 
@@ -66,12 +73,14 @@ class PackedGallery:
                 )
 
                 grouped, canon, valids = self.gallery_grouped
+                kk_loc = min(k, canon.shape[1])
+                rep = kk_loc if repair is None else min(repair, kk_loc)
                 d, i, fb = sharded_groupmin_topk(
                     self.mesh, packed_q, grouped, canon, valids,
-                    n=self.n, k=k, repair=min(k, 8),
+                    n=self.n, k=k, repair=rep,
                     exact=(mode == "exact"),
                 )
-                if mode == "exact" and bool(jnp.any(fb)):
+                if mode == "exact" and rep < kk_loc and bool(jnp.any(fb)):
                     fb_host = np.asarray(fb)
                     d_fix, i_fix = sharded_hamming_topk(
                         self.mesh, packed_q[jnp.asarray(fb_host)],
@@ -90,14 +99,17 @@ class PackedGallery:
         if use_pallas and self.gallery_grouped is not None:
             from hashgan_tpu.ops.groupmin import groupmin_topk
 
+            kk = min(k, self.gallery_grouped.shape[1]
+                     * self.gallery_grouped.shape[2])
+            rep = kk if repair is None else min(repair, kk)
             d, i, fb = groupmin_topk(
                 packed_q, self.gallery_grouped, self.packed_canonical,
-                valid_n=self.n, k=k, repair=min(k, 8),
+                valid_n=self.n, k=k, repair=rep,
                 exact=(mode == "exact"),
             )
-            if mode == "exact" and bool(jnp.any(fb)):
-                # Rare (adversarial grouping): recompute flagged queries
-                # with the sort-based exact engine.
+            if mode == "exact" and rep < kk and bool(jnp.any(fb)):
+                # Reachable only with an explicitly reduced repair capacity:
+                # recompute flagged queries with the sort-based exact engine.
                 fb_host = np.asarray(fb)
                 d_fix, i_fix = hamming_scan_topk(
                     packed_q[jnp.asarray(fb_host)], self.gallery_t,
@@ -150,25 +162,32 @@ def build_gallery_from_packed(
         gallery_t = jax.device_put(
             gallery_t, NamedSharding(mesh, P(None, "data"))
         )
+    from hashgan_tpu.ops.groupmin import groupmin_capacity_ok
+
     gallery_grouped = packed_canonical = None
     if mesh is None or mesh.size == 1:
-        from hashgan_tpu.ops.groupmin import to_grouped_layout
+        if groupmin_capacity_ok(n, w):
+            from hashgan_tpu.ops.groupmin import to_grouped_layout
 
-        grouped = to_grouped_layout(packed[:n], groups=128, col_multiple=256)
-        n_tot = grouped.shape[1] * grouped.shape[2]
-        canon = np.concatenate(
-            [packed[:n], np.zeros((n_tot - n, w), dtype=np.uint32)], axis=0
-        )
-        gallery_grouped = jnp.asarray(grouped)
-        packed_canonical = jnp.asarray(canon)
+            grouped = to_grouped_layout(packed[:n], groups=128, col_multiple=256)
+            n_tot = grouped.shape[1] * grouped.shape[2]
+            canon = np.concatenate(
+                [packed[:n], np.zeros((n_tot - n, w), dtype=np.uint32)], axis=0
+            )
+            gallery_grouped = jnp.asarray(grouped)
+            packed_canonical = jnp.asarray(canon)
+        # else: beyond the grouped engine's int32 key space — topk falls
+        # through to the ceiling-free sort engine (exact, just slower).
     else:
-        from hashgan_tpu.parallel.sharded_scan import shard_grouped_gallery
+        nd = mesh.size
+        if groupmin_capacity_ok(-(-n // nd), w):
+            from hashgan_tpu.parallel.sharded_scan import shard_grouped_gallery
 
-        grouped_dev, canon_dev, valids_dev, _ = shard_grouped_gallery(
-            mesh, packed[:n], groups=128, col_multiple=256
-        )
-        # mesh galleries store the sharded engine inputs as a tuple
-        gallery_grouped = (grouped_dev, canon_dev, valids_dev)
+            grouped_dev, canon_dev, valids_dev, _ = shard_grouped_gallery(
+                mesh, packed[:n], groups=128, col_multiple=256
+            )
+            # mesh galleries store the sharded engine inputs as a tuple
+            gallery_grouped = (grouped_dev, canon_dev, valids_dev)
     return PackedGallery(
         gallery_t=gallery_t, labels=np.asarray(labels), n=n, bits=bits,
         mesh=mesh, gallery_grouped=gallery_grouped,

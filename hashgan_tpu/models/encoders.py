@@ -115,13 +115,18 @@ class ResNetEncoder(nn.Module):
         return HashHead(self.bits, name="hash")(h)
 
 
-def build_encoder(arch: str, bits: int, dtype: Dtype = jnp.float32) -> nn.Module:
+def build_encoder(
+    arch: str, bits: int, dtype: Dtype = jnp.float32, input_resize: int = 0
+) -> nn.Module:
+    """``input_resize`` (reference: 227) makes the AlexNet module resize any
+    mismatched input as a safety net; the train/encode steps apply the full
+    resize-base/crop protocol before the forward pass (train/hash_step.py)."""
     from hashgan_tpu.models.alexnet import AlexNetEncoder
 
     if arch == "small_cnn":
         return SmallCNNEncoder(bits=bits, dtype=dtype)
     if arch == "alexnet":
-        return AlexNetEncoder(bits=bits, dtype=dtype)
+        return AlexNetEncoder(bits=bits, dtype=dtype, input_resize=input_resize)
     if arch == "resnet":
         return ResNetEncoder(bits=bits, dtype=dtype)
     raise ValueError(f"unknown encoder arch {arch!r}")

@@ -69,6 +69,21 @@ def to_grouped_layout(
 PAD_BASE = 1_000_000_000
 
 
+def groupmin_capacity_ok(
+    n_total: int, words: int, groups: int = 128, col_multiple: int = 256,
+    pad_base: int = PAD_BASE,
+) -> bool:
+    """Whether an n-item gallery fits the grouped engine's int32 key space
+    (~7.7M items at 128 bits, ~15M at 64, ~30M at 32). Beyond it the gallery
+    builder skips the grouped layout and queries degrade gracefully to the
+    ceiling-free sort engine (ops/hamming.py) instead of tripping asserts.
+    ``n_total`` is padded to the layout unit before the check."""
+    unit = groups * col_multiple
+    n_pad = -(-max(n_total, 1) // unit) * unit
+    stride = n_pad + 1
+    return (32 * words + 1) * stride + n_pad < pad_base
+
+
 def build_addend(L: int, cols: int, valid_n) -> jnp.ndarray:
     """(L, cols) int32 key addend: idx for valid items, PAD_BASE + idx for
     padding — precomputed once per gallery so the kernel does one add
@@ -121,7 +136,12 @@ def groupmin_scan(
     stride = n_total + 1
     # Valid keys must stay below PAD_BASE (padding region), which also
     # bounds int32: caps a single gallery/shard at ~7.7M items at 128 bits.
-    assert (32 * w + 1) * stride + n_total < PAD_BASE, "gallery too large"
+    # Larger galleries never reach here — build_gallery_from_packed checks
+    # groupmin_capacity_ok and routes them to the sort engine instead.
+    assert (32 * w + 1) * stride + n_total < PAD_BASE, (
+        "grouped engine key overflow — the gallery builder should have "
+        "declined the grouped layout (groupmin_capacity_ok)"
+    )
     assert c % col_block == 0, (
         f"grouped layout cols {c} not a multiple of col_block {col_block}; "
         "build the layout with to_grouped_layout(col_multiple=col_block)"
@@ -206,22 +226,39 @@ def groupmin_topk(
     """
     q, w = packed_q.shape
     _, L, c = gallery_g.shape
-    stride = L * c + 1
+    n_total = L * c
+    stride = n_total + 1
+    max_d = 32 * w
+
+    def decode(keys):
+        # Padding keys (>= PAD_BASE, incl. the INT32_MAX rescan sentinel)
+        # would otherwise decode to an in-range index with a huge distance —
+        # violating topk's "index >= n means padding" contract. Force true
+        # sentinels: d > max_d, i = n_total (>= any valid_n).
+        is_pad = keys >= PAD_BASE
+        d = jnp.where(is_pad, max_d + 1, keys // stride)
+        i = jnp.where(is_pad, n_total, keys % stride)
+        return d, i
+
     min1, min2 = groupmin_scan(
         packed_q, gallery_g, valid_n,
         query_tile=query_tile, col_block=col_block, interpret=interpret,
     )
-    kk = min(k, L * c)
+    kk = min(k, n_total)
     neg1, _ = jax.lax.top_k(-min1, kk)               # prelim winners
     prelim_keys = -neg1                              # (Q, kk) ascending
     if not exact:
-        d = prelim_keys // stride
-        i = prelim_keys % stride
+        d, i = decode(prelim_keys)
         return d, i, jnp.zeros((q,), bool)
 
     kth = prelim_keys[:, -1:]                        # (Q, 1)
     flagged = min2 <= kth                            # (Q, C) suspicious groups
     n_flagged = flagged.sum(axis=1)
+    # repair >= kk makes fallback unreachable: every flagged group has
+    # min1 <= min2 <= kth, and exactly kk groups have min1 <= kth (keys are
+    # distinct), so n_flagged <= kk. Clamping to C is lossless (flagged is a
+    # set of groups).
+    repair = min(repair, c)
     needs_fallback = n_flagged > repair
 
     # Take the `repair` smallest min2 groups: a superset of the flagged set
@@ -238,4 +275,5 @@ def groupmin_topk(
     all_keys = jnp.concatenate([prelim_masked, rescan_keys], axis=1)
     negk, _ = jax.lax.top_k(-all_keys, kk)
     final = -negk
-    return final // stride, final % stride, needs_fallback
+    d, i = decode(final)
+    return d, i, needs_fallback

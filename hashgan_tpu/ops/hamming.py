@@ -120,7 +120,7 @@ def hamming_distance(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "slab", "use_pallas", "interpret", "mode",
-                     "recall_target"),
+                     "recall_target", "_force_plain_tiebreak"),
 )
 def hamming_scan_topk(
     packed_q: jnp.ndarray,
@@ -132,6 +132,7 @@ def hamming_scan_topk(
     valid_n: jnp.ndarray | int | None = None,
     mode: str = "exact",
     recall_target: float = 0.95,
+    _force_plain_tiebreak: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming top-k: (Q, W) queries vs (W, N) scan-layout gallery.
 
@@ -168,10 +169,17 @@ def hamming_scan_topk(
     # Composite int32 key (distance-major, index-minor) gives exact
     # lowest-index tie-breaking when it fits; beyond that (N > ~16M at 128
     # bits) fall back to plain distance top_k, which XLA ties by position —
-    # still index order here because candidates are concatenated in index
-    # order every round.
+    # STILL exact index order: the carried best list is inductively
+    # (dist asc, idx asc), every new slab's candidates have strictly larger
+    # indices than all previous real entries (slabs scan in index order) and
+    # are themselves iota-ordered, and sentinels sort last by distance. So
+    # position order == index order at every merge, and the engine has no
+    # gallery-size ceiling (tested via _force_plain_tiebreak).
     stride = n_pad + 1
-    use_key = sentinel * stride + n_pad < jnp.iinfo(jnp.int32).max
+    use_key = (
+        sentinel * stride + n_pad < jnp.iinfo(jnp.int32).max
+        and not _force_plain_tiebreak
+    )
 
     init_d = jnp.full((q, k), sentinel, dtype=jnp.int32)
     init_i = jnp.full((q, k), jnp.int32(n), dtype=jnp.int32)

@@ -1,0 +1,232 @@
+"""MXU matmul-distance Hamming scan with group-min selection.
+
+The round-1 engine (ops/groupmin.py) computes XOR-popcount distances on the
+VPU at ~16 ops/comparison — measured saturated (docs/BENCHMARKS.md). This
+engine moves the distance math to the MXU, where the FLOPs are free:
+
+- Packed gallery words are unpacked IN-KERNEL to ±1 bfloat16 (bit-compare +
+  select; ~4 VPU ops/bit, amortized over every query tile that reuses the
+  block — the unpack runs once per gallery block, at query-tile 0).
+- Hamming distance comes from one matmul: for ±1 vectors,
+  ``d = (B - q·g) / 2`` — and because products are ±1 and B <= 128, the f32
+  accumulation is EXACT (integers far below 2^24).
+- Selection stays on the VPU but costs ~2 ops/comparison: a single fused
+  multiply-add folds distance + group-local tie-break + padding penalty into
+  one f32 key, then a cross-sublane min per group:
+      key = d*L + s + pad_penalty  ==  (B*L/2 + s + penalty) - (L/2)*q·g
+  Valid keys are < 2^15 and penalties < 2^23, all exactly representable.
+
+Exactness WITHOUT a repair/fallback path (simpler than groupmin.py's min2):
+the kernel emits only each group's min. A group can contribute a true top-k
+member only if its min key is <= the k-th best key overall, and the k-th
+smallest GROUP MIN is an upper bound for the k-th best key overall — so the
+k winning groups (and only they) can hold top-k members. The engine rescans
+exactly those k columns per query with a structured gather (2KB rows from a
+group-major canonical copy — lane-aligned, unlike a (N, W) row gather) and
+takes the final top-k from the rescan alone. No flags, no host sync, no
+data-dependent cliff: every query costs the same.
+
+Total order matches the numpy oracle: (distance asc, database index asc).
+The group key encodes (d, s); equal keys across columns tie-break by column
+position == column id c, and global index = s*C + c is exactly (s, c)-major.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hashgan_tpu.ops.groupmin import INT32_MAX
+
+# Padding penalty: pushed onto the key of layout-padding slots (idx >=
+# valid_n). Valid keys are <= B*L + L-1 = 16511; penalized keys >= 2^22.
+# Max possible kernel value = penalty + B*L + L < 2^24 -> f32-exact.
+PAD_PENALTY = float(1 << 22)
+
+
+def to_group_major(packed: np.ndarray, groups: int = 128,
+                   col_multiple: int = 256) -> np.ndarray:
+    """(N, W) canonical packed codes -> (C, L, W) group-major layout for the
+    winner-column rescan gather: column c's L items are one contiguous
+    2KB-scale row (L*W words), so ``take(cols)`` moves lane-aligned rows
+    instead of W-word slivers. Same item mapping as to_grouped_layout:
+    item n = s*C + c lives at [c, s]."""
+    n, w = packed.shape
+    L = groups
+    c = -(-n // (L * col_multiple)) * col_multiple
+    n_pad = L * c
+    if n_pad != n:
+        packed = np.concatenate(
+            [packed, np.zeros((n_pad - n, w), dtype=packed.dtype)], axis=0
+        )
+    return np.ascontiguousarray(packed.reshape(L, c, w).transpose(1, 0, 2))
+
+
+def unpack_to_pm1(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(Q, W) uint32 -> (Q, 32W) ±1 values (pack_codes bit order: bit i of
+    word w = code[32w+i])."""
+    q, w = packed.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)
+    return jnp.where(
+        bits > 0, jnp.asarray(1.0, dtype), jnp.asarray(-1.0, dtype)
+    ).reshape(q, w * 32)
+
+
+def build_key_base(L: int, cols: int, bits: int, valid_n) -> jnp.ndarray:
+    """(L, cols) f32 key base: B*L/2 + s (+ PAD_PENALTY for padding slots).
+    ``valid_n`` may be traced."""
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (L, cols), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (L, cols), 1)
+    idx = s_ids * cols + c_ids
+    base = (bits * L) / 2.0 + s_ids.astype(jnp.float32)
+    return jnp.where(idx < valid_n, base, base + PAD_PENALTY)
+
+
+def _mxu_groupmin_kernel(q_ref, g_ref, base_ref, min_ref, gb_ref, *, half_l):
+    """q (Tq, B) bf16 ±1; g (W, L, Cb) uint32; base (L, Cb) f32;
+    min out (Tq, Cb) f32; gb scratch (B, L*Cb) bf16 ±1."""
+    w_words = g_ref.shape[0]
+    L = g_ref.shape[1]
+    cb = g_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)  # unpack once per gallery block
+    def _unpack():
+        one = jnp.asarray(1.0, jnp.bfloat16)
+        neg = jnp.asarray(-1.0, jnp.bfloat16)
+        for w in range(w_words):  # static unroll
+            gw = g_ref[w]                                    # (L, Cb) u32
+            bitpos = jax.lax.broadcasted_iota(
+                jnp.uint32, (32, L, cb), 0
+            )
+            bits = (gw[None, :, :] >> bitpos) & jnp.uint32(1)
+            pm = jnp.where(bits > 0, one, neg)
+            gb_ref[w * 32 : (w + 1) * 32, :] = pm.reshape(32, L * cb)
+
+    dot = jnp.dot(q_ref[:], gb_ref[:], preferred_element_type=jnp.float32)
+    key = base_ref[:][None, :, :] - dot.reshape(
+        dot.shape[0], L, cb
+    ) * half_l
+    min_ref[:] = jnp.min(key, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("query_tile", "col_block", "interpret")
+)
+def mxu_groupmin_scan(
+    q_pm1: jnp.ndarray,
+    gallery_g: jnp.ndarray,
+    key_base: jnp.ndarray,
+    query_tile: int = 128,
+    col_block: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(Q, B) ±1 bf16 x (W, L, C) packed -> (Q, C) f32 min keys."""
+    q, b = q_pm1.shape
+    w, L, c = gallery_g.shape
+    assert b == 32 * w, (b, w)
+    assert c % col_block == 0, (c, col_block)
+    q_pad = pl.cdiv(q, query_tile) * query_tile
+    if q_pad != q:
+        q_pm1 = jnp.pad(q_pm1, ((0, q_pad - q), (0, 0)))
+    kernel = functools.partial(_mxu_groupmin_kernel, half_l=float(L) / 2.0)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((q_pad, c), jnp.float32),
+        # gallery-block-major grid: the unpacked block in scratch is reused
+        # by every query tile (program_id(1) is the fast axis)
+        grid=(c // col_block, q_pad // query_tile),
+        in_specs=[
+            pl.BlockSpec((query_tile, b), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, L, col_block), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, col_block), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((query_tile, col_block), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((b, L * col_block), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(q_pm1, gallery_g, key_base)
+    return out[:q]
+
+
+def _rescan_winner_columns(packed_q, canon_bg_flat, cols, L, c_total, w,
+                           stride, valid_n):
+    """Exact (d, idx) keys for every item of the winner columns.
+
+    canon_bg_flat: (C, L*W) uint32 group-major rows; cols: (Q, M) winner
+    column ids. Returns (Q, M*L) int32 composite keys (invalid -> INT32_MAX).
+    The take() moves contiguous lane-aligned rows (L*W words each), which is
+    the difference between a ~1ms and a ~100ms gather on TPU.
+    """
+    q = packed_q.shape[0]
+    m = cols.shape[1]
+    rows = jnp.take(canon_bg_flat, cols, axis=0)         # (Q, M, L*W)
+    codes = rows.reshape(q, m, L, w)
+    x = codes ^ packed_q[:, None, None, :]
+    d = jax.lax.population_count(x).astype(jnp.int32).sum(axis=-1)  # (Q,M,L)
+    s_ids = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    idx = s_ids * c_total + cols[:, :, None]
+    key = d * stride + idx
+    key = jnp.where(idx < valid_n, key, INT32_MAX)
+    return key.reshape(q, m * L)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "query_tile", "col_block", "interpret"),
+)
+def mxu_topk(
+    packed_q: jnp.ndarray,
+    gallery_g: jnp.ndarray,
+    canon_bg_flat: jnp.ndarray,
+    valid_n: jnp.ndarray | int,
+    k: int = 100,
+    query_tile: int = 128,
+    col_block: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Always-exact top-k via MXU scan + winner-column rescan.
+
+    Returns (dists (Q, kk), indices (Q, kk)) in oracle order; entries with
+    index >= valid_n are padding sentinels (d > bits). No fallback path
+    exists: the winner-rescan is the exactness mechanism (see module doc).
+    """
+    q, w = packed_q.shape
+    _, L, c = gallery_g.shape
+    n_total = L * c
+    bits = 32 * w
+    stride = n_total + 1
+    # rescan composite keys share groupmin's int32 bound; the gallery
+    # builder guards capacity (groupmin_capacity_ok) before choosing this
+    # engine.
+    assert (bits + 1) * stride + n_total < 2**31, "rescan key overflow"
+
+    q_pm1 = unpack_to_pm1(packed_q)
+    key_base = build_key_base(L, c, bits, valid_n)
+    min1 = mxu_groupmin_scan(
+        q_pm1, gallery_g, key_base,
+        query_tile=query_tile, col_block=col_block, interpret=interpret,
+    )
+    kk = min(k, n_total)
+    m = min(kk, c)  # winner columns per query (capped by column count)
+    _, cols = jax.lax.top_k(-min1, m)
+    rescan = _rescan_winner_columns(
+        packed_q, canon_bg_flat, cols, L, c, w, stride, valid_n
+    )
+    negk, _ = jax.lax.top_k(-rescan, kk)
+    final = -negk
+    is_pad = final == INT32_MAX
+    d = jnp.where(is_pad, bits + 1, final // stride)
+    i = jnp.where(is_pad, n_total, final % stride)
+    return d, i

@@ -47,9 +47,7 @@ def sharded_hamming_topk(
     n_dev = mesh.shape[axis]
     assert n % n_dev == 0, f"gallery {n} not divisible by mesh size {n_dev}"
     local_n = n // n_dev
-    stride = n + 1
     max_d = 32 * packed_q.shape[1]
-    assert (max_d + 1) * stride + n < 2**31, "gallery too large for int32 key"
     if valid_n is None:
         valid_n = n
 
@@ -68,13 +66,27 @@ def sharded_hamming_topk(
         q_n = q.shape[0]
         cat_d = jnp.moveaxis(dg, 0, 1).reshape(q_n, -1)
         cat_i = jnp.moveaxis(ig, 0, 1).reshape(q_n, -1)
-        key = cat_d * jnp.int32(stride) + cat_i
+        # Position-based merge key: each shard's candidate list is already
+        # (dist asc, idx asc) and shard r owns the contiguous global index
+        # range [r*local_n, (r+1)*local_n), so for equal distance the
+        # concatenated *position* orders exactly like the global index.
+        # key = d * n_cand + position fits int32 for ANY gallery size
+        # (d <= 129, n_cand = n_dev * k) — no global composite ceiling.
+        n_cand = cat_d.shape[1]
+        position = jax.lax.broadcasted_iota(jnp.int32, (q_n, n_cand), 1)
+        sent = cat_d > max_d  # per-shard padding sentinels sort strictly last
+        key = jnp.where(
+            sent, jnp.iinfo(jnp.int32).max,
+            cat_d * jnp.int32(n_cand) + position,
+        )
         kk = min(k, n)
         _, pos = jax.lax.top_k(-key, kk)
-        return (
-            jnp.take_along_axis(cat_d, pos, axis=1),
-            jnp.take_along_axis(cat_i, pos, axis=1),
-        )
+        d_out = jnp.take_along_axis(cat_d, pos, axis=1)
+        i_out = jnp.take_along_axis(cat_i, pos, axis=1)
+        # Shard-local sentinel ids (local_n + r*local_n) can alias valid ids
+        # of the next shard: force the documented "index >= n" contract.
+        i_out = jnp.where(d_out > max_d, n, i_out)
+        return d_out, i_out
 
     fn = shard_map(
         local_scan,
@@ -159,8 +171,6 @@ def sharded_groupmin_topk(
     n_loc = canon.shape[1]
     w = packed_q.shape[1]
     max_d = 32 * w
-    stride_g = nd * n_loc + 1
-    assert (max_d + 1) * stride_g + nd * n_loc < 2**31, "gallery too large"
     kk = min(k, n_loc)
 
     def local(q, g, cn, v):
@@ -170,19 +180,28 @@ def sharded_groupmin_topk(
             query_tile=query_tile, col_block=col_block, exact=exact,
         )
         r = jax.lax.axis_index(axis)
-        key = jnp.where(
-            d <= max_d,
-            d * jnp.int32(stride_g) + (i + r * n_loc),
-            jnp.iinfo(jnp.int32).max,
-        )
-        keys = jax.lax.all_gather(key, axis)          # (nd, Q, kk)
+        dg = jax.lax.all_gather(d, axis)              # (nd, Q, kk)
+        ig = jax.lax.all_gather(i + r * n_loc, axis)  # local -> global ids
         fbs = jax.lax.all_gather(fb, axis).any(axis=0)
-        cat = jnp.moveaxis(keys, 0, 1).reshape(q.shape[0], -1)
-        negk, _ = jax.lax.top_k(-cat, min(k, nd * kk))
-        fin = -negk
-        is_sentinel = fin == jnp.iinfo(jnp.int32).max
-        d_out = jnp.where(is_sentinel, max_d + 1, fin // jnp.int32(stride_g))
-        i_out = jnp.where(is_sentinel, n, fin % jnp.int32(stride_g))
+        q_n = q.shape[0]
+        cat_d = jnp.moveaxis(dg, 0, 1).reshape(q_n, -1)
+        cat_i = jnp.moveaxis(ig, 0, 1).reshape(q_n, -1)
+        # Position-based merge key (see sharded_hamming_topk): each shard's
+        # list is (dist asc, idx asc) over a contiguous global index range,
+        # so (d, position) orders exactly like (d, global idx) — and the key
+        # fits int32 for ANY gallery size (no global composite ceiling).
+        n_cand = cat_d.shape[1]
+        position = jax.lax.broadcasted_iota(jnp.int32, (q_n, n_cand), 1)
+        key = jnp.where(
+            cat_d > max_d, jnp.iinfo(jnp.int32).max,
+            cat_d * jnp.int32(n_cand) + position,
+        )
+        _, pos = jax.lax.top_k(-key, min(k, nd * kk))
+        d_out = jnp.take_along_axis(cat_d, pos, axis=1)
+        i_out = jnp.take_along_axis(cat_i, pos, axis=1)
+        is_sentinel = d_out > max_d
+        d_out = jnp.where(is_sentinel, max_d + 1, d_out)
+        i_out = jnp.where(is_sentinel, n, i_out)
         return d_out, i_out, fbs
 
     fn = shard_map(

@@ -105,16 +105,19 @@ def make_gan_cycle(generator, discriminator, cfg: Config) -> Callable:
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         g_ema = state.g_ema
+        g_ema_stats = state.g_ema_stats
         if gan.ema_decay > 0 and g_ema is not None:
             decay = gan.ema_decay
-            g_ema = jax.tree_util.tree_map(
-                lambda e, p: decay * e + (1.0 - decay) * p, g_ema, g_params
-            )
+            ema = lambda e, p: decay * e + (1.0 - decay) * p  # noqa: E731
+            g_ema = jax.tree_util.tree_map(ema, g_ema, g_params)
+            # BN running stats tracked at the same horizon so EMA sampling
+            # normalizes with statistics that match the EMA weights.
+            g_ema_stats = jax.tree_util.tree_map(ema, g_ema_stats, g_stats)
 
         new_state = GanState(
             g_params=g_params, g_stats=g_stats, g_opt=g_opt,
             d_params=d_params, d_opt=d_opt, step=state.step + 1,
-            g_ema=g_ema,
+            g_ema=g_ema, g_ema_stats=g_ema_stats,
         )
         metrics = {k: v[-1] for k, v in d_metrics.items()}
         metrics.update(g_metrics)

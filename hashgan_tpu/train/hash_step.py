@@ -19,7 +19,10 @@ import optax
 
 from hashgan_tpu.configs import Config
 from hashgan_tpu.data.preprocess import (
+    alexnet_eval_geometry,
+    alexnet_train_geometry,
     gan_to_encoder_input,
+    random_crop,
     random_flip,
     to_encoder_input,
 )
@@ -37,7 +40,11 @@ def make_encoder_train_step(
     """
     tx = make_encoder_tx(cfg.encoder)
     hl = cfg.hash_loss
-    use_gan = cfg.use_gan and generator is not None
+    # train.use_gan_samples gates stage-II fake augmentation independently of
+    # use_gan (so a yaml `train: {use_gan_samples: false}` really disables it).
+    use_gan = (
+        cfg.use_gan and cfg.train.use_gan_samples and generator is not None
+    )
     z_dim = cfg.gan.z_dim
 
     def step(
@@ -49,9 +56,12 @@ def make_encoder_train_step(
         g_stats=None,
     ) -> Tuple[EncoderState, dict]:
         rng = jax.random.fold_in(rng, state.step)
-        r_flip, r_drop, r_z = jax.random.split(rng, 3)
+        r_flip, r_crop, r_drop, r_z = jax.random.split(rng, 4)
         x = to_encoder_input(images_u8)
         x = random_flip(r_flip, x)
+        if cfg.train.crop_pad > 0:
+            # Reference aug set (SURVEY.md §3.5): crop in addition to flip.
+            x = random_crop(r_crop, x, pad=cfg.train.crop_pad)
 
         if use_gan:
             # Synthesize a half-batch conditioned on (a copy of) the real
@@ -68,6 +78,15 @@ def make_encoder_train_step(
             all_labels = jnp.concatenate([labels, fake_labels], axis=0)
         else:
             all_labels = labels
+
+        if cfg.encoder.input_resize > 0:
+            # Reference AlexNet protocol (resize 256 -> random crop 227):
+            # applied to the real-union-fake batch so the conv stack sees one
+            # static size for both sources.
+            r_geo = jax.random.fold_in(r_crop, 1)
+            x = alexnet_train_geometry(
+                r_geo, x, cfg.encoder.input_resize, cfg.encoder.resize_base
+            )
 
         def loss_fn(params):
             codes = encoder.apply(
@@ -97,11 +116,18 @@ def make_encoder_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_encode_fn(encoder) -> Callable:
-    """Jitted ``encode(params, images_u8) -> (B, bits) f32 codes`` (eval mode)."""
+def make_encode_fn(encoder, cfg: Config | None = None) -> Callable:
+    """Jitted ``encode(params, images_u8) -> (B, bits) f32 codes`` (eval mode).
+
+    With ``cfg.encoder.input_resize`` set, applies the reference eval-time
+    geometry (resize to base, center crop) before the forward pass."""
+    input_resize = cfg.encoder.input_resize if cfg is not None else 0
+    resize_base = cfg.encoder.resize_base if cfg is not None else 0
 
     def encode(params, images_u8):
         x = to_encoder_input(images_u8)
+        if input_resize > 0:
+            x = alexnet_eval_geometry(x, input_resize, resize_base)
         return encoder.apply({"params": params}, x, train=False)
 
     return jax.jit(encode)

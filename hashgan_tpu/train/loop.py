@@ -22,6 +22,7 @@ import numpy as np
 
 from hashgan_tpu.configs import Config
 from hashgan_tpu.data import BatchIterator, make_splits
+from hashgan_tpu.data.pipeline import prefetch_to_device
 from hashgan_tpu.index import PackedGallery, build_gallery
 from hashgan_tpu.models import Discriminator, Generator, build_encoder
 from hashgan_tpu.ops.pack import pack_codes
@@ -53,7 +54,14 @@ class Experiment:
         gdtype = jnp.bfloat16 if cfg.gan.compute_dtype == "bfloat16" else jnp.float32
 
         self.mesh = make_mesh(cfg.mesh.n_devices) if use_mesh else None
-        self.encoder = build_encoder(cfg.encoder.arch, cfg.encoder.bits, dtype=dtype)
+        self.encoder = build_encoder(
+            cfg.encoder.arch, cfg.encoder.bits, dtype=dtype,
+            input_resize=cfg.encoder.input_resize,
+        )
+        # Encoder params must be initialized at the post-geometry input size
+        # (fc6's flatten dim depends on it — the bvlc 227 protocol).
+        enc_size = cfg.encoder.input_resize or d.image_size
+        self.encoder_input_shape = (enc_size, enc_size, d.channels)
         self.generator = Generator(
             image_size=d.image_size, n_labels=d.n_classes, dim=cfg.gan.dim,
             out_channels=d.channels, dtype=gdtype,
@@ -66,7 +74,7 @@ class Experiment:
         rng = jax.random.key(cfg.train.seed)
         r_enc, r_gan, self._rng_seed = jax.random.split(rng, 3)
         self.encoder_state = create_encoder_state(
-            r_enc, self.encoder, cfg.encoder, self.image_shape
+            r_enc, self.encoder, cfg.encoder, self.encoder_input_shape
         )
         self.gan_state = (
             create_gan_state(
@@ -89,10 +97,13 @@ class Experiment:
         self._sample = (
             make_sample_fn(self.generator, cfg) if cfg.use_gan else None
         )
+        self._enc_uses_gan = cfg.use_gan and cfg.train.use_gan_samples
         self._enc_step = make_encoder_train_step(
-            self.encoder, cfg, generator=self.generator if cfg.use_gan else None
+            self.encoder, cfg,
+            generator=self.generator if self._enc_uses_gan else None,
         )
-        self._encode = make_encode_fn(self.encoder)
+        self._enc_step_nogan = None  # built lazily by the stage-II guard
+        self._encode = make_encode_fn(self.encoder, cfg)
         self.ckpt = CheckpointManager(self.workdir)
 
     # ------------------------------------------------------------------
@@ -106,33 +117,38 @@ class Experiment:
         it = BatchIterator(
             self.splits["train"], cfg.train.batch_size * n_batches,
             seed=cfg.train.seed, start_step=int(jax.device_get(self.gan_state.step)),
+            epoch_shuffle=cfg.train.epoch_shuffle,
         )
         rng = self._rng_seed
         b = cfg.train.batch_size
         means: Dict[str, float] = {}
+
+        def stacked():
+            for imgs, labs in it:
+                yield (
+                    imgs.reshape((n_batches, b) + imgs.shape[1:]),
+                    labs.reshape(n_batches, b, -1),
+                )
+
+        # Double-buffered host->device prefetch: batch t+1's transfer
+        # overlaps batch t's compute (the rebuild's answer to the
+        # reference's per-step feed_dict stall; data/pipeline.py).
+        sharding = None
+        if self.mesh is not None:
+            # batch dim 1 is the per-device batch: shard it.
+            sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(None, "data")
+            )
+        batches = prefetch_to_device(
+            stacked(), size=max(1, cfg.train.prefetch), sharding=sharding
+        )
         # Host-side step mirror: device_get forces a host<->device round
         # trip, which on a remote-tunnel platform costs ~100ms — syncing
         # every step would reintroduce the reference's feed_dict boundary.
         # Steps are enqueued asynchronously; sync only at log points.
         host_step = int(jax.device_get(self.gan_state.step))
         for _ in range(iters):
-            imgs, labs = next(it)
-            shape = (n_batches, b) + imgs.shape[1:]
-            batch = (
-                jnp.asarray(imgs.reshape(shape)),
-                jnp.asarray(labs.reshape(n_batches, b, -1)),
-            )
-            if self.mesh is not None:
-                # batch dim 1 is the per-device batch: shard it.
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(
-                        x,
-                        jax.sharding.NamedSharding(
-                            self.mesh, jax.sharding.PartitionSpec(None, "data")
-                        ),
-                    ),
-                    batch,
-                )
+            batch = next(batches)
             self.gan_state, metrics = self._gan_cycle(
                 self.gan_state, batch[0], batch[1], rng
             )
@@ -172,14 +188,15 @@ class Experiment:
         n_per = max(1, 64 // k)
         labels = np.repeat(np.eye(k, dtype=np.float32), n_per, axis=0)[:64]
         z = jax.random.normal(jax.random.key(0), (labels.shape[0], self.cfg.gan.z_dim))
-        g_params = (
-            self.gan_state.g_ema
-            if self.gan_state.g_ema is not None
-            else self.gan_state.g_params
-        )
-        imgs = self._sample(
-            g_params, self.gan_state.g_stats, z, jnp.asarray(labels)
-        )
+        if self.gan_state.g_ema is not None:
+            # EMA weights pair with EMA-tracked BN stats: normalizing EMA
+            # weights by the live net's statistics skews early-training grids.
+            g_params = self.gan_state.g_ema
+            g_stats = self.gan_state.g_ema_stats
+        else:
+            g_params = self.gan_state.g_params
+            g_stats = self.gan_state.g_stats
+        imgs = self._sample(g_params, g_stats, z, jnp.asarray(labels))
         save_image_grid(
             np.asarray(imgs), os.path.join(self.workdir, f"samples_{step}.png")
         )
@@ -187,30 +204,70 @@ class Experiment:
     # ------------------------------------------------------------------
     # Stage II: hash encoder
     # ------------------------------------------------------------------
+    def _stage2_guard(self):
+        """Refuse to co-train F against an untrained generator.
+
+        The reference's two-step workflow always loads the stage-1 checkpoint
+        before step 2; running stage 2 fresh would mix fake_ratio noise
+        images into every batch and quietly destroy MAP. If the GAN has never
+        stepped: try restoring a checkpoint, else warn loudly and train on
+        real images only. Returns (use_gan, step_fn)."""
+        import warnings
+
+        use_gan = self._enc_uses_gan and self.gan_state is not None
+        if not use_gan:
+            return False, self._enc_step
+        if int(jax.device_get(self.gan_state.step)) == 0:
+            if self.restore_checkpoint():
+                pass  # stage-1 state recovered from the workdir
+            if int(jax.device_get(self.gan_state.step)) == 0:
+                warnings.warn(
+                    "stage-II requested GAN sample augmentation but the "
+                    "generator has never been trained and no checkpoint "
+                    "exists; training the encoder on real images only. "
+                    "Run stage 1 first (or pass --resume).",
+                    stacklevel=2,
+                )
+                if self._enc_step_nogan is None:
+                    self._enc_step_nogan = make_encoder_train_step(
+                        self.encoder, self.cfg, generator=None
+                    )
+                return False, self._enc_step_nogan
+        return True, self._enc_step
+
     def train_encoder(
         self, iters: Optional[int] = None, eval_during: bool = True
     ) -> Dict[str, float]:
         cfg = self.cfg
         iters = iters if iters is not None else cfg.encoder.iters
+        use_gan, step_fn = self._stage2_guard()
         it = BatchIterator(
             self.splits["train"], cfg.train.batch_size, seed=cfg.train.seed + 1,
             start_step=int(jax.device_get(self.encoder_state.step)),
+            epoch_shuffle=cfg.train.epoch_shuffle,
         )
         rng = self._rng_seed
         means: Dict[str, float] = {}
+        sharding = (
+            jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data")
+            )
+            if self.mesh is not None
+            else None
+        )
+        batches = prefetch_to_device(
+            it, size=max(1, cfg.train.prefetch), sharding=sharding
+        )
         host_step = int(jax.device_get(self.encoder_state.step))  # see train_gan
         for _ in range(iters):
-            imgs, labs = next(it)
-            batch = (jnp.asarray(imgs), jnp.asarray(labs))
-            if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
-            if cfg.use_gan:
-                self.encoder_state, metrics = self._enc_step(
+            batch = next(batches)
+            if use_gan:
+                self.encoder_state, metrics = step_fn(
                     self.encoder_state, batch[0], batch[1], rng,
                     self.gan_state.g_params, self.gan_state.g_stats,
                 )
             else:
-                self.encoder_state, metrics = self._enc_step(
+                self.encoder_state, metrics = step_fn(
                     self.encoder_state, batch[0], batch[1], rng
                 )
             host_step += 1
@@ -247,13 +304,12 @@ class Experiment:
         """Hamming-ranking eval: exact MAP@R for small/medium galleries,
         tie-aware streaming MAP (eval/streaming.py) beyond
         ``streaming_threshold`` items; P@H<=r always exact; PR curve dumped
-        to the workdir when cfg.eval.pr_curve."""
-        import numpy as _np
+        to the workdir when cfg.eval.pr_curve.
 
-        from hashgan_tpu.eval import (
-            device_map_at_r,
-            device_precision_at_radius,
-        )
+        Under a multi-device mesh the gallery is sharded over the ``data``
+        axis and both paths run the sharded engines (eval/sharded.py) —
+        exact-path results are bit-equal to single-device."""
+        import numpy as _np
 
         cfg = self.cfg
         codes_q = self.encode_split("query")
@@ -263,13 +319,38 @@ class Experiment:
         qlab = jnp.asarray(self.splits["query"].labels)
         dlab = jnp.asarray(self.splits["database"].labels)
         n_db = pg.shape[0]
-        if n_db <= streaming_threshold:
-            m = float(device_map_at_r(pq, pg, qlab, dlab, R=cfg.eval.R))
-            p = float(
-                device_precision_at_radius(
-                    pq, pg, qlab, dlab, radius=cfg.eval.precision_radius
-                )
+        sharded = self.mesh is not None and self.mesh.size > 1
+        if sharded:
+            from hashgan_tpu.eval import shard_gallery_for_eval
+
+            pg_t, dlab_pad, valid_n = shard_gallery_for_eval(
+                self.mesh, _np.asarray(pg), _np.asarray(dlab)
             )
+        if n_db <= streaming_threshold:
+            if sharded:
+                from hashgan_tpu.eval import (
+                    sharded_map_at_r,
+                    sharded_precision_at_radius,
+                )
+
+                m = float(sharded_map_at_r(
+                    self.mesh, pq, pg_t, qlab, dlab_pad,
+                    R=cfg.eval.R, valid_n=valid_n,
+                ))
+                p = float(sharded_precision_at_radius(
+                    self.mesh, pq, pg_t, qlab, dlab_pad,
+                    radius=cfg.eval.precision_radius, valid_n=valid_n,
+                ))
+            else:
+                from hashgan_tpu.eval import (
+                    device_map_at_r,
+                    device_precision_at_radius,
+                )
+
+                m = float(device_map_at_r(pq, pg, qlab, dlab, R=cfg.eval.R))
+                p = float(device_precision_at_radius(
+                    pq, pg, qlab, dlab, radius=cfg.eval.precision_radius
+                ))
             metrics = {f"map_at_{cfg.eval.R}": m,
                        f"precision_at_h{cfg.eval.precision_radius}": p}
             if cfg.eval.pr_curve:
@@ -282,7 +363,16 @@ class Experiment:
                 tie_aware_map,
             )
 
-            n_hist, r_hist = device_distance_histograms(pq, pg.T, qlab, dlab)
+            if sharded:
+                from hashgan_tpu.eval import sharded_distance_histograms
+
+                n_hist, r_hist = sharded_distance_histograms(
+                    self.mesh, pq, pg_t, qlab, dlab_pad, valid_n=valid_n
+                )
+            else:
+                n_hist, r_hist = device_distance_histograms(
+                    pq, pg.T, qlab, dlab
+                )
             m = float(tie_aware_map(n_hist, r_hist, cfg.eval.R))
             p = float(precision_at_radius_from_hist(
                 n_hist, r_hist, cfg.eval.precision_radius

@@ -33,7 +33,8 @@ class GanState(struct.PyTreeNode):
     d_params: Any
     d_opt: Any
     step: jnp.ndarray
-    g_ema: Any = None      # EMA of g_params (sampling weights) when enabled
+    g_ema: Any = None        # EMA of g_params (sampling weights) when enabled
+    g_ema_stats: Any = None  # EMA of g_stats — sampling pairs weights+stats
 
 
 def _subtree_mask(params: Dict, predicate: Callable[[str], bool]) -> Dict:
@@ -123,6 +124,10 @@ def create_gan_state(
         # state, and aliased leaves would be donated twice
         g_ema=(
             jax.tree_util.tree_map(jnp.copy, g_vars["params"])
+            if cfg.ema_decay > 0 else None
+        ),
+        g_ema_stats=(
+            jax.tree_util.tree_map(jnp.copy, g_vars.get("batch_stats", {}))
             if cfg.ema_decay > 0 else None
         ),
     )

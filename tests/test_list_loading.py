@@ -52,7 +52,12 @@ def test_make_splits_prefers_list_files(image_dataset):
     assert splits["query"].images.shape == (12, 32, 32, 3)
 
 
-def test_make_splits_falls_back_to_synthetic_when_missing(tmp_path):
+def test_make_splits_configured_but_missing_lists_raise(tmp_path):
+    """A configured-but-absent list must ERROR, not silently fall back to
+    synthetic data (round-1 advisor finding: half-loading opaquely mixes
+    synthetic splits into a real-data run)."""
+    import pytest
+
     from hashgan_tpu.configs import DataConfig
     from hashgan_tpu.data import make_splits
 
@@ -60,5 +65,14 @@ def test_make_splits_falls_back_to_synthetic_when_missing(tmp_path):
         n_train=16, n_query=4, n_database=8,
         train_list=str(tmp_path / "nope.txt"),
     )
+    with pytest.raises(FileNotFoundError):
+        make_splits(cfg)
+
+
+def test_make_splits_unconfigured_lists_use_synthetic():
+    from hashgan_tpu.configs import DataConfig
+    from hashgan_tpu.data import make_splits
+
+    cfg = DataConfig(n_train=16, n_query=4, n_database=8)
     splits = make_splits(cfg)
-    assert len(splits["train"]) == 16  # synthetic fallback
+    assert len(splits["train"]) == 16  # synthetic (nothing configured)

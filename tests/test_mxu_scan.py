@@ -1,0 +1,94 @@
+"""MXU matmul-distance engine: oracle-bit-identical ranking, padding
+sentinels, adversarial ties, unpack round-trip (ops/mxu_scan.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hashgan_tpu.ops import hamming_distance_np, pack_codes_np
+from hashgan_tpu.ops.groupmin import to_grouped_layout
+from hashgan_tpu.ops.mxu_scan import (
+    mxu_topk,
+    to_group_major,
+    unpack_to_pm1,
+)
+
+
+def _build(codes_pm1, groups=8, col_multiple=16):
+    packed = pack_codes_np(codes_pm1)
+    gg = to_grouped_layout(packed, groups=groups, col_multiple=col_multiple)
+    bg = to_group_major(packed, groups=groups, col_multiple=col_multiple)
+    c, L, w = bg.shape
+    return packed, jnp.asarray(gg), jnp.asarray(bg.reshape(c, L * w))
+
+
+def test_unpack_round_trips_pack():
+    rng = np.random.default_rng(0)
+    codes = np.where(rng.uniform(size=(13, 64)) < 0.5, -1.0, 1.0).astype(np.float32)
+    packed = jnp.asarray(pack_codes_np(codes))
+    pm1 = np.asarray(unpack_to_pm1(packed), dtype=np.float32)
+    np.testing.assert_array_equal(pm1, codes)
+
+
+def test_group_major_layout_matches_grouped():
+    rng = np.random.default_rng(1)
+    packed = rng.integers(0, 2**32, (100, 2), dtype=np.uint32)
+    gg = to_grouped_layout(packed, groups=8, col_multiple=16)   # (W, L, C)
+    bg = to_group_major(packed, groups=8, col_multiple=16)      # (C, L, W)
+    np.testing.assert_array_equal(gg.transpose(2, 1, 0), bg)
+
+
+@pytest.mark.parametrize("bits,n,q,k", [(32, 700, 9, 20), (64, 1200, 5, 64)])
+def test_mxu_topk_matches_oracle(bits, n, q, k):
+    rng = np.random.default_rng(bits + n)
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    queries = np.where(rng.uniform(size=(q, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    packed, gg, bgf = _build(codes)
+    pq = jnp.asarray(pack_codes_np(queries))
+    d, i = mxu_topk(pq, gg, bgf, valid_n=n, k=k,
+                    query_tile=16, col_block=16, interpret=True)
+    d, i = np.asarray(d), np.asarray(i)
+    d_full = hamming_distance_np(pack_codes_np(queries), packed)
+    for qi in range(q):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(i[qi], order)
+        np.testing.assert_array_equal(d[qi], d_full[qi][order])
+
+
+def test_mxu_topk_adversarial_ties_exact():
+    """Everything nearly tied — the regime that cliffed the min2 engine."""
+    rng = np.random.default_rng(7)
+    n, bits, k = 2048, 32, 100
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.03, -1.0, 1.0).astype(np.float32)
+    packed, gg, bgf = _build(codes, groups=16, col_multiple=16)
+    pq = jnp.asarray(pack_codes_np(np.ones((4, bits), dtype=np.float32)))
+    d, i = mxu_topk(pq, gg, bgf, valid_n=n, k=k,
+                    query_tile=8, col_block=16, interpret=True)
+    d_full = hamming_distance_np(np.asarray(pq), packed)
+    for qi in range(4):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(i)[qi], order)
+
+
+def test_mxu_topk_padding_sentinels():
+    rng = np.random.default_rng(3)
+    n, bits, k = 37, 32, 64  # far fewer valid items than k
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    packed, gg, bgf = _build(codes)
+    pq = jnp.asarray(pack_codes_np(
+        np.where(rng.uniform(size=(3, bits)) < 0.5, -1.0, 1.0).astype(np.float32)))
+    d, i = mxu_topk(pq, gg, bgf, valid_n=n, k=k,
+                    query_tile=8, col_block=16, interpret=True)
+    d, i = np.asarray(d), np.asarray(i)
+    real = i < n
+    assert (d[real] <= bits).all()
+    assert (d[~real] > bits).all()
+    for qi in range(3):
+        ids = i[qi][real[qi]]
+        assert len(ids) == n and len(set(ids.tolist())) == n
+    # and the real prefix is oracle-exact
+    d_full = hamming_distance_np(np.asarray(pq), packed)
+    for qi in range(3):
+        order = np.argsort(d_full[qi], kind="stable")
+        np.testing.assert_array_equal(i[qi][:n], order)

@@ -1,0 +1,285 @@
+"""Round-2 regression tests: stage-II guard, use_gan_samples wiring, groupmin
+padding sentinels, list validation, EMA/BN-stat pairing, epoch shuffle,
+repair=k no-fallback guarantee."""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hashgan_tpu.configs import (
+    Config, DataConfig, EncoderConfig, GanConfig, TrainConfig,
+)
+from hashgan_tpu.data import make_splits
+from hashgan_tpu.data.pipeline import BatchIterator
+from hashgan_tpu.models import Discriminator, Generator, SmallCNNEncoder
+from hashgan_tpu.train import (
+    create_encoder_state,
+    create_gan_state,
+    make_encoder_train_step,
+    make_gan_cycle,
+)
+
+
+def tiny_config(use_gan=False, **train_kw):
+    return Config(
+        data=DataConfig(n_train=64, n_query=16, n_database=64, n_classes=4),
+        gan=GanConfig(dim=16, z_dim=32, n_critic=2, iters=100),
+        encoder=EncoderConfig(arch="small_cnn", bits=16, lr=1e-3),
+        train=TrainConfig(batch_size=16, fake_ratio=0.5, **train_kw),
+        use_gan=use_gan,
+    )
+
+
+# ----------------------------------------------------------------------------
+# ADVICE r1: use_gan_samples must actually gate fake augmentation
+# ----------------------------------------------------------------------------
+
+def test_use_gan_samples_false_disables_fakes():
+    cfg = tiny_config(use_gan=True, use_gan_samples=False)
+    splits = make_splits(cfg.data)
+    enc = SmallCNNEncoder(bits=cfg.encoder.bits, dim=16)
+    gen = Generator(image_size=32, n_labels=4, dim=16)
+    disc = Discriminator(image_size=32, n_labels=4, dim=16)
+    gstate = create_gan_state(jax.random.key(0), gen, disc, cfg.gan, (32, 32, 3), 4)
+    imgs, labs = next(BatchIterator(splits["train"], cfg.train.batch_size, seed=0))
+
+    def run(step, with_g):
+        state = create_encoder_state(
+            jax.random.key(1), enc, cfg.encoder, (32, 32, 3)
+        )
+        args = (state, jnp.asarray(imgs), jnp.asarray(labs), jax.random.key(2))
+        if with_g:
+            args = args + (gstate.g_params, gstate.g_stats)
+        state, _ = step(*args)
+        return jax.tree_util.tree_map(np.asarray, state.params)
+
+    # generator supplied but flag off == no generator at all
+    p_flag_off = run(make_encoder_train_step(enc, cfg, generator=gen), True)
+    p_no_gen = run(make_encoder_train_step(enc, cfg, generator=None), False)
+    flat_a = jax.tree_util.tree_leaves(p_flag_off)
+    flat_b = jax.tree_util.tree_leaves(p_no_gen)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
+
+
+# ----------------------------------------------------------------------------
+# VERDICT #6 / ADVICE r1: stage-II fresh-GAN guard
+# ----------------------------------------------------------------------------
+
+def test_stage2_fresh_gan_warns_and_trains_real_only(tmp_path):
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = tiny_config(use_gan=True)
+    cfg = dc.replace(cfg, encoder=dc.replace(cfg.encoder, iters=2))
+    exp = Experiment(cfg, workdir=str(tmp_path), use_mesh=False)
+    assert int(jax.device_get(exp.gan_state.step)) == 0
+    with pytest.warns(UserWarning, match="never been trained"):
+        exp.train_encoder(iters=2, eval_during=False)
+    assert int(jax.device_get(exp.encoder_state.step)) == 2
+
+
+def test_stage2_guard_keeps_fakes_after_gan_training(tmp_path):
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = tiny_config(use_gan=True)
+    exp = Experiment(cfg, workdir=str(tmp_path), use_mesh=False)
+    exp.train_gan(iters=1)
+    use_gan, step_fn = exp._stage2_guard()
+    assert use_gan and step_fn is exp._enc_step
+
+
+# ----------------------------------------------------------------------------
+# ADVICE r1: groupmin approx/padding decode must yield true sentinels
+# ----------------------------------------------------------------------------
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_groupmin_padding_decodes_to_sentinels(exact):
+    from hashgan_tpu.index import build_gallery
+    from hashgan_tpu.ops import pack_codes_np
+    from hashgan_tpu.ops.groupmin import groupmin_topk
+
+    rng = np.random.default_rng(0)
+    n, bits, k = 37, 32, 64  # far fewer valid items than k
+    codes = rng.standard_normal((n, bits)).astype(np.float32)
+    labels = np.eye(2, dtype=np.float32)[np.zeros(n, int)]
+    gal = build_gallery(jnp.asarray(codes), labels, bits, use_pallas=False)
+    pq = jnp.asarray(pack_codes_np(rng.standard_normal((5, bits)).astype(np.float32)))
+    d, i, _ = groupmin_topk(
+        pq, gal.gallery_grouped, gal.packed_canonical,
+        valid_n=gal.n, k=k, repair=k, interpret=True, exact=exact,
+        query_tile=8, col_block=256,
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    max_d = bits
+    # contract: every slot is either a real item (i < n, d <= bits) or a
+    # padding sentinel (i >= n AND d > bits) — never a bogus in-range index
+    real = i < n
+    assert (d[real] <= max_d).all()
+    assert (d[~real] > max_d).all()
+    # exactly n real slots per query, no duplicates
+    for qi in range(d.shape[0]):
+        ids = i[qi][real[qi]]
+        assert len(ids) == n
+        assert len(set(ids.tolist())) == n
+
+
+# ----------------------------------------------------------------------------
+# VERDICT #3: repair=k makes the fallback statically unreachable
+# ----------------------------------------------------------------------------
+
+def test_repair_k_never_flags_under_adversarial_ties():
+    from hashgan_tpu.index import build_gallery
+    from hashgan_tpu.ops import hamming_distance_np, pack_codes_np
+    from hashgan_tpu.ops.groupmin import groupmin_topk
+
+    rng = np.random.default_rng(1)
+    n, bits, k = 4096, 32, 60
+    # everything nearly tied: worst case for group flagging
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.02, -1.0, 1.0).astype(np.float32)
+    labels = np.eye(2, dtype=np.float32)[np.zeros(n, int)]
+    gal = build_gallery(jnp.asarray(codes), labels, bits, use_pallas=False)
+    q = np.ones((4, bits), dtype=np.float32)
+    pq = jnp.asarray(pack_codes_np(q))
+    d, i, fb = groupmin_topk(
+        pq, gal.gallery_grouped, gal.packed_canonical,
+        valid_n=gal.n, k=k, repair=k, interpret=True, query_tile=8,
+    )
+    assert not np.asarray(fb).any()
+    # and the result is oracle-exact
+    d_full = hamming_distance_np(np.asarray(pack_codes_np(q)), np.asarray(
+        jax.device_get(gal.gallery_t)).T[:gal.n])
+    for qi in range(q.shape[0]):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(i)[qi], order)
+
+
+def test_gallery_topk_default_repair_no_fallback_ties(monkeypatch):
+    """PackedGallery.topk's groupmin path defaults repair to k (the proven
+    no-overflow bound), returns exact results on a tie-heavy gallery, and
+    never enters the fallback recompute."""
+    import hashgan_tpu.ops.groupmin as gm
+    from hashgan_tpu.index import build_gallery
+    from hashgan_tpu.ops import hamming_distance_np, pack_codes_np
+
+    rng = np.random.default_rng(2)
+    n, bits, k = 2048, 32, 100
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.05, -1.0, 1.0).astype(np.float32)
+    labels = np.eye(2, dtype=np.float32)[np.zeros(n, int)]
+    gal = build_gallery(jnp.asarray(codes), labels, bits, use_pallas=False)
+    q = np.ones((3, bits), dtype=np.float32)
+    pq = jnp.asarray(pack_codes_np(q))
+
+    seen = {}
+    real_topk = gm.groupmin_topk
+
+    def spy(*args, **kw):
+        seen["repair"] = kw.get("repair")
+        kw["interpret"] = True  # CPU backend: run the kernel interpreted
+        return real_topk(*args, **kw)
+
+    monkeypatch.setattr(gm, "groupmin_topk", spy)
+    d, i = gal.topk(pq, k=k, use_pallas=True)  # forces the groupmin path
+    assert seen["repair"] == k
+    d_full = hamming_distance_np(np.asarray(pq), np.asarray(pack_codes_np(codes)))
+    for qi in range(3):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(i)[qi], order)
+
+
+# ----------------------------------------------------------------------------
+# ADVICE r1: make_splits half-configured list files
+# ----------------------------------------------------------------------------
+
+def test_make_splits_partial_lists_raise(tmp_path):
+    lst = tmp_path / "train.txt"
+    lst.write_text("img.png 1 0\n")
+    cfg = DataConfig(train_list=str(lst))  # test/database missing
+    with pytest.raises(FileNotFoundError, match="database_list"):
+        make_splits(cfg)
+
+
+def test_make_splits_missing_file_raises(tmp_path):
+    cfg = DataConfig(
+        train_list=str(tmp_path / "nope.txt"),
+        test_list=str(tmp_path / "nope2.txt"),
+        database_list=str(tmp_path / "nope3.txt"),
+    )
+    with pytest.raises(FileNotFoundError):
+        make_splits(cfg)
+
+
+# ----------------------------------------------------------------------------
+# ADVICE r1: EMA sampling pairs EMA weights with EMA-tracked BN stats
+# ----------------------------------------------------------------------------
+
+def test_gan_ema_tracks_batch_stats():
+    cfg = tiny_config(use_gan=True)
+    cfg = dc.replace(cfg, gan=dc.replace(cfg.gan, ema_decay=0.5))
+    gen = Generator(image_size=32, n_labels=4, dim=16)
+    disc = Discriminator(image_size=32, n_labels=4, dim=16)
+    state = create_gan_state(jax.random.key(0), gen, disc, cfg.gan, (32, 32, 3), 4)
+    assert state.g_ema_stats is not None
+    stats0 = jax.tree_util.tree_map(np.asarray, state.g_ema_stats)
+    cycle = make_gan_cycle(gen, disc, cfg)
+    rng = np.random.default_rng(0)
+    n, b = cfg.gan.n_critic + 1, 8
+    imgs = jnp.asarray(rng.integers(0, 255, (n, b, 32, 32, 3)), dtype=jnp.uint8)
+    labs = jnp.asarray(np.eye(4)[rng.integers(0, 4, (n, b))], dtype=jnp.float32)
+    state, _ = cycle(state, imgs, labs, jax.random.key(1))
+    # EMA stats moved (toward the live stats) but did not jump all the way
+    moved = diff_live = 0.0
+    for e0, e1, live in zip(
+        jax.tree_util.tree_leaves(stats0),
+        jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, state.g_ema_stats)),
+        jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, state.g_stats)),
+    ):
+        moved += float(np.abs(e1 - e0).sum())
+        diff_live += float(np.abs(e1 - live).sum())
+    assert moved > 0
+    assert diff_live > 0
+
+
+# ----------------------------------------------------------------------------
+# VERDICT #9: epoch-shuffle sampling
+# ----------------------------------------------------------------------------
+
+def test_epoch_shuffle_covers_dataset_without_replacement():
+    from hashgan_tpu.data.synthetic import make_synthetic
+
+    ds, _ = make_synthetic(64, 4, size=8, seed=0)
+    it = BatchIterator(ds, batch_size=16, seed=3, epoch_shuffle=True)
+    seen = []
+    for _ in range(4):  # one epoch = 4 batches
+        imgs, labs = next(it)
+        # recover indices by matching images (they're distinct noise draws)
+        seen.append(imgs)
+    flat = np.concatenate(seen, axis=0)
+    # every dataset item appears exactly once in the epoch
+    uniq = {arr.tobytes() for arr in flat}
+    assert len(uniq) == 64
+
+
+def test_epoch_shuffle_is_step_pure_for_resume():
+    from hashgan_tpu.data.synthetic import make_synthetic
+
+    ds, _ = make_synthetic(48, 4, size=8, seed=0)
+    a = BatchIterator(ds, batch_size=16, seed=7, epoch_shuffle=True)
+    burn = [next(a) for _ in range(5)]
+    del burn
+    b = BatchIterator(ds, batch_size=16, seed=7, start_step=5, epoch_shuffle=True)
+    ia, la = next(a)
+    ib, lb = next(b)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(la, lb)
+
+
+def test_epoch_shuffle_dataset_smaller_than_batch():
+    from hashgan_tpu.data.synthetic import make_synthetic
+
+    ds, _ = make_synthetic(10, 4, size=8, seed=0)
+    it = BatchIterator(ds, batch_size=16, seed=1, epoch_shuffle=True)
+    imgs, labs = next(it)
+    assert imgs.shape[0] == 16
