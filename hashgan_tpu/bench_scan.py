@@ -5,16 +5,22 @@ Target: >= 1e9 packed-code comparisons/sec/chip on one v5e. One comparison
 over a device-resident 1M x 128-bit gallery, k=100, 1024 queries.
 
 Selection engines measured:
-  groupmin (HEADLINE) — fused Pallas scan with in-kernel group-min
-      selection + repair pass (ops/groupmin.py): EXACT (numpy-oracle
-      bit-identical ranking) at ~12e9 cmp/s.
-  approx  — slab scan + lax.approx_min_k (XLA ApproxTopK): ~9e9 cmp/s,
-      recall@100 ~0.998.
+  mxu (HEADLINE) — MXU matmul-distance scan + winner-column rescan
+      (ops/mxu_scan.py): EXACT (numpy-oracle bit-identical ranking) with
+      data-independent latency (no fallback path exists).
+  mxu-approx — same scan, ApproxTopK group-minima selection (no rescan):
+      serving mode, recall@100 ~0.99+.
+  groupmin — round-1 engine: VPU XOR-popcount + in-kernel min/min2 +
+      repair pass (ops/groupmin.py).
+  approx  — slab scan + lax.approx_min_k (XLA ApproxTopK).
   sort    — slab scan + lax.top_k merge: the baseline exact engine.
 
-Timing note: device sync uses a host copy of the result — on the
-experimental ``axon`` platform ``block_until_ready`` can return before the
-remote execution has finished.
+Timing: the headline is DEVICE-AMORTIZED — one jit executes the scan over
+R query batches (lax.scan) and returns a scalar checksum, so the ~30 ms
+per-dispatch tunnel overhead and the result host-copy (both artifacts of
+the remote `axon` platform, absent in production serving where dispatches
+pipeline) are amortized away. Single-shot wall-clock times (host-copy
+sync, the round-1 methodology) are reported in detail for comparability.
 """
 
 from __future__ import annotations
@@ -27,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time_scan(fn, iters: int) -> float:
+def _time_single(fn, iters: int) -> float:
+    """Round-1 methodology: full-result host copy as the device sync."""
     _ = np.asarray(fn()[0])  # compile + warmup, forced to host
     times = []
     for _i in range(iters):
@@ -38,6 +45,28 @@ def _time_scan(fn, iters: int) -> float:
     return min(times)
 
 
+def _time_amortized(fn, qs: jnp.ndarray, iters: int = 3) -> float:
+    """Per-scan device time: one dispatch runs fn over every query batch in
+    ``qs`` (R, Q, W) via lax.scan, returning a scalar checksum (4-byte
+    host copy). Wall-clock / R isolates device throughput."""
+    r = qs.shape[0]
+
+    @jax.jit
+    def run(qs_):
+        def body(acc, pq):
+            return acc + fn(pq), None
+        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), qs_)
+        return out
+
+    _ = np.asarray(run(qs))  # compile + warmup
+    times = []
+    for _i in range(iters):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(qs))
+        times.append(time.perf_counter() - t0)
+    return min(times) / r
+
+
 def run_bench(
     bits: int = 128,
     n: int = 1 << 20,
@@ -46,25 +75,35 @@ def run_bench(
     slab: int = 1 << 16,
     iters: int = 3,
     use_pallas: bool | None = None,
+    amortize_batches: int = 6,
 ) -> Dict:
     from hashgan_tpu.ops.groupmin import groupmin_topk, to_grouped_layout
     from hashgan_tpu.ops.hamming import hamming_scan_topk
+    from hashgan_tpu.ops.mxu_scan import mxu_topk, to_group_major
 
     rng = np.random.default_rng(0)
     w = (bits + 31) // 32
     packed_q = jax.device_put(
         jnp.asarray(rng.integers(0, 2**32, size=(q, w), dtype=np.uint32))
     )
+    qs = jax.device_put(jnp.asarray(
+        rng.integers(0, 2**32, size=(amortize_batches, q, w), dtype=np.uint32)
+    ))
     pg = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
     gallery_t = jax.device_put(jnp.asarray(pg.T))
     gallery_g = jax.device_put(jnp.asarray(to_grouped_layout(pg)))
+    bg = to_group_major(pg)
+    canon_bg = jax.device_put(jnp.asarray(bg.reshape(bg.shape[0], -1)))
     n_tot = gallery_g.shape[1] * gallery_g.shape[2]
     canon = np.concatenate([pg, np.zeros((n_tot - n, w), np.uint32)])
     packed_canonical = jax.device_put(jnp.asarray(canon))
 
-    def scan_groupmin():
+    def scan_mxu(pq=packed_q, mode="exact"):
+        return mxu_topk(pq, gallery_g, canon_bg, valid_n=n, k=k, mode=mode)
+
+    def scan_groupmin(pq=packed_q):
         return groupmin_topk(
-            packed_q, gallery_g, packed_canonical, valid_n=n, k=k, repair=8
+            pq, gallery_g, packed_canonical, valid_n=n, k=k, repair=8
         )
 
     def scan_slab(mode):
@@ -73,20 +112,32 @@ def run_bench(
             mode=mode,
         )
 
-    dt_groupmin = _time_scan(scan_groupmin, iters)
-    dt_approx = _time_scan(lambda: scan_slab("approx"), iters)
-    dt_sort = _time_scan(lambda: scan_slab("exact"), iters)
+    # headline: device-amortized exact MXU engine
+    dt_mxu_dev = _time_amortized(
+        lambda pq: scan_mxu(pq)[0].sum().astype(jnp.float32), qs, iters=iters
+    )
+    dt_mxu_approx_dev = _time_amortized(
+        lambda pq: scan_mxu(pq, "approx")[0].sum().astype(jnp.float32),
+        qs, iters=iters,
+    )
+    dt_groupmin_dev = _time_amortized(
+        lambda pq: scan_groupmin(pq)[0].sum().astype(jnp.float32),
+        qs, iters=iters,
+    )
+    # single-shot wall clock (round-1 methodology, incl. dispatch+transfer)
+    dt_mxu = _time_single(scan_mxu, iters)
+    dt_sort = _time_single(lambda: scan_slab("exact"), iters)
+    dt_approx = _time_single(lambda: scan_slab("approx"), iters)
 
-    # verify groupmin vs sort-exact on a query subsample (bit-identical)
+    # verify mxu vs sort-exact on a query subsample (bit-identical)
     _, ie = scan_slab("exact")
-    dg, ig, fb = scan_groupmin()
-    ie, ig = np.asarray(ie), np.asarray(ig)
+    dm, im = scan_mxu()
+    ie, im = np.asarray(ie), np.asarray(im)
     sample = min(128, q)
-    exact_match = bool((ig[:sample] == ie[:sample]).all())
-    fallbacks = int(np.asarray(fb).sum())
+    exact_match = bool((im[:sample] == ie[:sample]).all())
 
     comparisons = q * n
-    cps = comparisons / dt_groupmin
+    cps = comparisons / dt_mxu_dev
     return {
         "metric": "packed_hamming_cmp_per_sec",
         "value": float(cps),
@@ -94,13 +145,17 @@ def run_bench(
         "vs_baseline": float(cps / 1e9),
         "detail": {
             "bits": bits, "gallery": n, "queries": q, "k": k,
-            "seconds_groupmin_exact": dt_groupmin,
-            "seconds_approx": dt_approx,
-            "seconds_sort_exact": dt_sort,
-            "approx_cmp_per_sec": float(comparisons / dt_approx),
+            "engine": "mxu_exact_device_amortized",
+            "seconds_mxu_exact_device": dt_mxu_dev,
+            "seconds_mxu_approx_device": dt_mxu_approx_dev,
+            "seconds_groupmin_exact_device": dt_groupmin_dev,
+            "seconds_mxu_exact_singleshot": dt_mxu,
+            "seconds_sort_exact_singleshot": dt_sort,
+            "seconds_approx_singleshot": dt_approx,
+            "mxu_approx_cmp_per_sec": float(comparisons / dt_mxu_approx_dev),
+            "groupmin_cmp_per_sec": float(comparisons / dt_groupmin_dev),
             "sort_exact_cmp_per_sec": float(comparisons / dt_sort),
-            "groupmin_matches_sort_exact": exact_match,
-            "groupmin_fallbacks": fallbacks,
+            "mxu_matches_sort_exact": exact_match,
             "backend": jax.default_backend(),
         },
     }

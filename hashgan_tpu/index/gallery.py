@@ -40,6 +40,7 @@ class PackedGallery:
     mesh: Optional[Mesh] = None
     gallery_grouped: Optional[jnp.ndarray] = None   # (W, L, C) grouped layout
     packed_canonical: Optional[jnp.ndarray] = None  # (L*C, W) device canonical
+    canon_bg: Optional[jnp.ndarray] = None          # (C, L*W) group-major rows
 
     @property
     def words(self) -> int:
@@ -68,13 +69,25 @@ class PackedGallery:
             use_pallas = _jax.default_backend() not in ("cpu",)
         if self.mesh is not None and self.mesh.size > 1:
             if use_pallas and self.gallery_grouped is not None:
+                grouped, canon, valids, canon_bg = self.gallery_grouped
+                if repair is None:
+                    # Flagship multi-chip engine: per-shard MXU scan +
+                    # winner rescan, position-key ICI merge. Exact, no
+                    # fallback, data-independent latency.
+                    from hashgan_tpu.parallel.sharded_scan import (
+                        sharded_mxu_topk,
+                    )
+
+                    return sharded_mxu_topk(
+                        self.mesh, packed_q, grouped, canon_bg, valids,
+                        n=self.n, k=k, mode=mode,
+                    )
                 from hashgan_tpu.parallel.sharded_scan import (
                     sharded_groupmin_topk,
                 )
 
-                grouped, canon, valids = self.gallery_grouped
                 kk_loc = min(k, canon.shape[1])
-                rep = kk_loc if repair is None else min(repair, kk_loc)
+                rep = min(repair, kk_loc)
                 d, i, fb = sharded_groupmin_topk(
                     self.mesh, packed_q, grouped, canon, valids,
                     n=self.n, k=k, repair=rep,
@@ -95,6 +108,18 @@ class PackedGallery:
             return sharded_hamming_topk(
                 self.mesh, packed_q, self.gallery_t, k=k, slab=slab,
                 use_pallas=use_pallas, valid_n=self.n,
+            )
+        if (use_pallas and self.canon_bg is not None
+                and self.gallery_grouped is not None and repair is None):
+            # Flagship single-chip engine: MXU matmul distances + winner-
+            # column rescan — exact with data-independent latency (or
+            # ApproxTopK group-minima selection in approx mode). An explicit
+            # ``repair`` falls through to the legacy group-min/min2 engine.
+            from hashgan_tpu.ops.mxu_scan import mxu_topk
+
+            return mxu_topk(
+                packed_q, self.gallery_grouped, self.canon_bg,
+                valid_n=self.n, k=k, mode=mode,
             )
         if use_pallas and self.gallery_grouped is not None:
             from hashgan_tpu.ops.groupmin import groupmin_topk
@@ -164,10 +189,11 @@ def build_gallery_from_packed(
         )
     from hashgan_tpu.ops.groupmin import groupmin_capacity_ok
 
-    gallery_grouped = packed_canonical = None
+    gallery_grouped = packed_canonical = canon_bg = None
     if mesh is None or mesh.size == 1:
         if groupmin_capacity_ok(n, w):
             from hashgan_tpu.ops.groupmin import to_grouped_layout
+            from hashgan_tpu.ops.mxu_scan import to_group_major
 
             grouped = to_grouped_layout(packed[:n], groups=128, col_multiple=256)
             n_tot = grouped.shape[1] * grouped.shape[2]
@@ -176,6 +202,8 @@ def build_gallery_from_packed(
             )
             gallery_grouped = jnp.asarray(grouped)
             packed_canonical = jnp.asarray(canon)
+            bg = to_group_major(packed[:n], groups=128, col_multiple=256)
+            canon_bg = jnp.asarray(bg.reshape(bg.shape[0], -1))
         # else: beyond the grouped engine's int32 key space — topk falls
         # through to the ceiling-free sort engine (exact, just slower).
     else:
@@ -183,15 +211,16 @@ def build_gallery_from_packed(
         if groupmin_capacity_ok(-(-n // nd), w):
             from hashgan_tpu.parallel.sharded_scan import shard_grouped_gallery
 
-            grouped_dev, canon_dev, valids_dev, _ = shard_grouped_gallery(
-                mesh, packed[:n], groups=128, col_multiple=256
+            grouped_dev, canon_dev, valids_dev, bg_dev, _ = (
+                shard_grouped_gallery(mesh, packed[:n], groups=128,
+                                      col_multiple=256)
             )
             # mesh galleries store the sharded engine inputs as a tuple
-            gallery_grouped = (grouped_dev, canon_dev, valids_dev)
+            gallery_grouped = (grouped_dev, canon_dev, valids_dev, bg_dev)
     return PackedGallery(
         gallery_t=gallery_t, labels=np.asarray(labels), n=n, bits=bits,
         mesh=mesh, gallery_grouped=gallery_grouped,
-        packed_canonical=packed_canonical,
+        packed_canonical=packed_canonical, canon_bg=canon_bg,
     )
 
 

@@ -91,22 +91,30 @@ def build_key_base(L: int, cols: int, bits: int, valid_n) -> jnp.ndarray:
 
 def _mxu_groupmin_kernel(q_ref, g_ref, base_ref, min_ref, gb_ref, *, half_l):
     """q (Tq, B) bf16 ±1; g (W, L, Cb) uint32; base (L, Cb) f32;
-    min out (Tq, Cb) f32; gb scratch (B, L*Cb) bf16 ±1."""
+    min out (Tq, Cb) f32; gb scratch (B, L*Cb) bf16 ±1.
+
+    (A bias-row variant that emits finished keys straight from the matmul
+    was measured SLOWER on-chip: padding K from 128 to 144 costs +12.5% MXU
+    time, more than the one fused multiply-add per element it saves.)"""
     w_words = g_ref.shape[0]
     L = g_ref.shape[1]
     cb = g_ref.shape[2]
 
     @pl.when(pl.program_id(1) == 0)  # unpack once per gallery block
     def _unpack():
-        one = jnp.asarray(1.0, jnp.bfloat16)
-        neg = jnp.asarray(-1.0, jnp.bfloat16)
         for w in range(w_words):  # static unroll
             gw = g_ref[w]                                    # (L, Cb) u32
             bitpos = jax.lax.broadcasted_iota(
                 jnp.uint32, (32, L, cb), 0
             )
             bits = (gw[None, :, :] >> bitpos) & jnp.uint32(1)
-            pm = jnp.where(bits > 0, one, neg)
+            # int arithmetic (2b-1) then numeric converts: Mosaic rejects an
+            # i1-mask select straight into bf16 tiles (relayout error), and
+            # f32<->uint32 bitcasts are unavailable — int32 -> f32 -> bf16
+            # converts are the supported path (cf. ops/pack.py).
+            pm = (bits.astype(jnp.int32) * 2 - 1).astype(
+                jnp.float32
+            ).astype(jnp.bfloat16)
             gb_ref[w * 32 : (w + 1) * 32, :] = pm.reshape(32, L * cb)
 
     dot = jnp.dot(q_ref[:], gb_ref[:], preferred_element_type=jnp.float32)
@@ -127,7 +135,7 @@ def mxu_groupmin_scan(
     col_block: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(Q, B) ±1 bf16 x (W, L, C) packed -> (Q, C) f32 min keys."""
+    """(Q, B) ±1 x (W, L, C) packed -> (Q, C) f32 min keys."""
     q, b = q_pm1.shape
     w, L, c = gallery_g.shape
     assert b == 32 * w, (b, w)
@@ -156,7 +164,7 @@ def mxu_groupmin_scan(
             pltpu.VMEM((b, L * col_block), jnp.bfloat16),
         ],
         interpret=interpret,
-    )(q_pm1, gallery_g, key_base)
+    )(q_pm1.astype(jnp.bfloat16), gallery_g, key_base)
     return out[:q]
 
 
@@ -184,7 +192,8 @@ def _rescan_winner_columns(packed_q, canon_bg_flat, cols, L, c_total, w,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "query_tile", "col_block", "interpret"),
+    static_argnames=("k", "query_tile", "col_block", "interpret", "mode",
+                     "recall_target"),
 )
 def mxu_topk(
     packed_q: jnp.ndarray,
@@ -195,12 +204,20 @@ def mxu_topk(
     query_tile: int = 128,
     col_block: int = 128,
     interpret: bool = False,
+    mode: str = "exact",
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Always-exact top-k via MXU scan + winner-column rescan.
+    """Top-k via MXU scan (+ winner-column rescan when exact).
 
-    Returns (dists (Q, kk), indices (Q, kk)) in oracle order; entries with
-    index >= valid_n are padding sentinels (d > bits). No fallback path
-    exists: the winner-rescan is the exactness mechanism (see module doc).
+    mode="exact": oracle-bit-identical. Returns (dists (Q, kk), indices
+    (Q, kk)); entries with index >= valid_n are padding sentinels
+    (d > bits). No fallback path exists: the winner-rescan IS the exactness
+    mechanism (see module doc), so latency is data-independent.
+
+    mode="approx": group minima selected with lax.approx_min_k — skips the
+    rescan and the exact sorts entirely. Recall = ApproxTopK recall x the
+    group-collision term (an item hidden behind a same-group better item is
+    missed; ~0.995 at k=100, C=8192 on uniform codes).
     """
     q, w = packed_q.shape
     _, L, c = gallery_g.shape
@@ -220,6 +237,21 @@ def mxu_topk(
     )
     kk = min(k, n_total)
     m = min(kk, c)  # winner columns per query (capped by column count)
+
+    if mode == "approx":
+        vals, cols = jax.lax.approx_min_k(
+            min1, m, recall_target=recall_target
+        )
+        key = vals.astype(jnp.int32)
+        is_pad = key >= jnp.int32(PAD_PENALTY)
+        d = jnp.where(is_pad, bits + 1, key // L)
+        s = jnp.where(is_pad, 0, key % L)
+        i = jnp.where(is_pad, n_total, s * c + cols)
+        if m < kk:  # k exceeds the column count: pad with sentinels
+            d = jnp.pad(d, ((0, 0), (0, kk - m)), constant_values=bits + 1)
+            i = jnp.pad(i, ((0, 0), (0, kk - m)), constant_values=n_total)
+        return d, i
+
     _, cols = jax.lax.top_k(-min1, m)
     rescan = _rescan_winner_columns(
         packed_q, canon_bg_flat, cols, L, c, w, stride, valid_n

@@ -113,13 +113,16 @@ def shard_grouped_gallery(
 
     Each shard owns a contiguous slice of items (so local index order ==
     global index order within the shard — tie-breaks stay exact). Returns
-    (grouped (nd, W, L, C_loc), canon (nd, n_loc, W), valids (nd,), n_loc),
-    all device_put sharded on their leading axis.
+    (grouped (nd, W, L, C_loc), canon (nd, n_loc, W), valids (nd,),
+    canon_bg (nd, C_loc, L*W), n_loc), all device_put sharded on their
+    leading axis. ``canon_bg`` is the group-major rescan layout for the
+    MXU engine (ops/mxu_scan.py).
     """
     import numpy as np
     from jax.sharding import NamedSharding
 
     from hashgan_tpu.ops.groupmin import to_grouped_layout
+    from hashgan_tpu.ops.mxu_scan import to_group_major
 
     nd = mesh.shape[axis]
     n, w = packed.shape
@@ -134,12 +137,19 @@ def shard_grouped_gallery(
     grouped = np.stack(
         [to_grouped_layout(slices[r], groups, col_multiple) for r in range(nd)]
     )
+    bg = np.stack([
+        to_group_major(slices[r], groups, col_multiple).reshape(
+            n_loc // groups, groups * w
+        )
+        for r in range(nd)
+    ])
     valids = np.clip(n - np.arange(nd) * n_loc, 0, n_loc).astype(np.int32)
     sh = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
     grouped_dev = jax.device_put(grouped, sh(P(axis, None, None, None)))
     canon_dev = jax.device_put(slices, sh(P(axis, None, None)))
     valids_dev = jax.device_put(valids, sh(P(axis)))
-    return grouped_dev, canon_dev, valids_dev, n_loc
+    bg_dev = jax.device_put(bg, sh(P(axis, None, None)))
+    return grouped_dev, canon_dev, valids_dev, bg_dev, n_loc
 
 
 def sharded_groupmin_topk(
@@ -213,3 +223,70 @@ def sharded_groupmin_topk(
         check_vma=False,
     )
     return fn(packed_q, grouped, canon, valids)
+
+
+def sharded_mxu_topk(
+    mesh: Mesh,
+    packed_q: jnp.ndarray,
+    grouped: jnp.ndarray,
+    canon_bg: jnp.ndarray,
+    valids: jnp.ndarray,
+    n: int,
+    k: int = 100,
+    axis: str = "data",
+    query_tile: int = 128,
+    col_block: int = 128,
+    interpret: bool = False,
+    mode: str = "exact",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MXU matmul-distance top-k over a contiguously sharded gallery.
+
+    Each chip runs the single-chip MXU engine (ops/mxu_scan.py — exact via
+    winner-column rescan, no fallback path) on its resident shard; k
+    candidates per chip ride ICI (all_gather) into the position-key merge
+    (exact for any gallery size, see sharded_hamming_topk). Returns
+    (dists, global indices), replicated; index >= n marks padding.
+    """
+    from hashgan_tpu.ops.mxu_scan import mxu_topk
+
+    nd = mesh.shape[axis]
+    n_loc = grouped.shape[2] * grouped.shape[3]
+    w = packed_q.shape[1]
+    max_d = 32 * w
+    kk = min(k, n_loc)
+
+    def local(q, g, cbg, v):
+        g, cbg, v = g[0], cbg[0], v[0]
+        d, i = mxu_topk(
+            q, g, cbg, valid_n=v, k=kk, query_tile=query_tile,
+            col_block=col_block, interpret=interpret, mode=mode,
+        )
+        r = jax.lax.axis_index(axis)
+        dg = jax.lax.all_gather(d, axis)              # (nd, Q, kk)
+        ig = jax.lax.all_gather(i + r * n_loc, axis)  # local -> global ids
+        q_n = q.shape[0]
+        cat_d = jnp.moveaxis(dg, 0, 1).reshape(q_n, -1)
+        cat_i = jnp.moveaxis(ig, 0, 1).reshape(q_n, -1)
+        n_cand = cat_d.shape[1]
+        position = jax.lax.broadcasted_iota(jnp.int32, (q_n, n_cand), 1)
+        key = jnp.where(
+            cat_d > max_d, jnp.iinfo(jnp.int32).max,
+            cat_d * jnp.int32(n_cand) + position,
+        )
+        _, pos = jax.lax.top_k(-key, min(k, nd * kk))
+        d_out = jnp.take_along_axis(cat_d, pos, axis=1)
+        i_out = jnp.take_along_axis(cat_i, pos, axis=1)
+        is_sentinel = d_out > max_d
+        d_out = jnp.where(is_sentinel, max_d + 1, d_out)
+        i_out = jnp.where(is_sentinel, n, i_out)
+        return d_out, i_out
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None, None, None),
+                  P(axis, None, None), P(axis)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(packed_q, grouped, canon_bg, valids)

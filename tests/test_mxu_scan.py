@@ -92,3 +92,35 @@ def test_mxu_topk_padding_sentinels():
     for qi in range(3):
         order = np.argsort(d_full[qi], kind="stable")
         np.testing.assert_array_equal(i[qi][:n], order)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_mxu_matches_single_chip(n_dev):
+    from hashgan_tpu.parallel import make_mesh
+    from hashgan_tpu.parallel.sharded_scan import (
+        shard_grouped_gallery, sharded_mxu_topk,
+    )
+
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(n_dev + 40)
+    n, bits, k = 700, 32, 60
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.3, -1.0, 1.0).astype(np.float32)
+    packed = pack_codes_np(codes)
+    pq = jnp.asarray(pack_codes_np(
+        np.where(rng.uniform(size=(7, bits)) < 0.5, -1.0, 1.0).astype(np.float32)))
+    grouped, canon, valids, canon_bg, _ = shard_grouped_gallery(
+        mesh, packed, groups=8, col_multiple=16
+    )
+    d, i = sharded_mxu_topk(
+        mesh, pq, grouped, canon_bg, valids, n=n, k=k,
+        query_tile=8, col_block=16, interpret=True,
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    d_full = hamming_distance_np(np.asarray(pq), packed)
+    for qi in range(7):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(i[qi], order)
+        np.testing.assert_array_equal(d[qi], d_full[qi][order])

@@ -181,8 +181,44 @@ def test_gallery_topk_default_repair_no_fallback_ties(monkeypatch):
         return real_topk(*args, **kw)
 
     monkeypatch.setattr(gm, "groupmin_topk", spy)
-    d, i = gal.topk(pq, k=k, use_pallas=True)  # forces the groupmin path
+    # an explicit oversized repair routes to the legacy group-min engine
+    # and is clamped to k (the proven bound)
+    d, i = gal.topk(pq, k=k, use_pallas=True, repair=500)
     assert seen["repair"] == k
+    d_full = hamming_distance_np(np.asarray(pq), np.asarray(pack_codes_np(codes)))
+    for qi in range(3):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(i)[qi], order)
+
+
+def test_gallery_topk_default_routes_to_mxu_engine(monkeypatch):
+    """The default TPU path is the MXU matmul-distance engine (exact, no
+    fallback); verified through PackedGallery.topk with interpret-mode
+    kernels on the CPU backend."""
+    import hashgan_tpu.ops.mxu_scan as mx
+    from hashgan_tpu.index import build_gallery
+    from hashgan_tpu.ops import hamming_distance_np, pack_codes_np
+
+    rng = np.random.default_rng(5)
+    n, bits, k = 1024, 32, 50
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.2, -1.0, 1.0).astype(np.float32)
+    labels = np.eye(2, dtype=np.float32)[np.zeros(n, int)]
+    gal = build_gallery(jnp.asarray(codes), labels, bits, use_pallas=False)
+    assert gal.canon_bg is not None
+    pq = jnp.asarray(pack_codes_np(np.ones((3, bits), dtype=np.float32)))
+
+    called = {}
+    real = mx.mxu_topk
+
+    def spy(*args, **kw):
+        called["mode"] = kw.get("mode")
+        kw["interpret"] = True
+        kw["query_tile"] = 8
+        return real(*args, **kw)
+
+    monkeypatch.setattr(mx, "mxu_topk", spy)
+    d, i = gal.topk(pq, k=k, use_pallas=True)
+    assert called["mode"] == "exact"
     d_full = hamming_distance_np(np.asarray(pq), np.asarray(pack_codes_np(codes)))
     for qi in range(3):
         order = np.argsort(d_full[qi], kind="stable")[:k]

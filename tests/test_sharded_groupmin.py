@@ -16,7 +16,7 @@ def test_sharded_groupmin_matches_oracle(n_dev, n):
     rng = np.random.default_rng(n_dev + n)
     pg = rng.integers(0, 2**32, size=(n, 2), dtype=np.uint32)
     pq = rng.integers(0, 2**32, size=(9, 2), dtype=np.uint32)
-    grouped, canon, valids, n_loc = shard_grouped_gallery(
+    grouped, canon, valids, canon_bg, n_loc = shard_grouped_gallery(
         mesh, pg, groups=4, col_multiple=16
     )
     k = 31
@@ -41,7 +41,7 @@ def test_sharded_groupmin_zero_query_vs_zero_padding():
     n = 300  # pads to 4 shards x 128 = 512
     pg = rng.integers(1, 2**32, size=(n, 1), dtype=np.uint32)
     pq = np.zeros((3, 1), dtype=np.uint32)
-    grouped, canon, valids, _ = shard_grouped_gallery(
+    grouped, canon, valids, _bg, _ = shard_grouped_gallery(
         mesh, pg, groups=4, col_multiple=32
     )
     d, i, fb = sharded_groupmin_topk(
@@ -64,7 +64,7 @@ def test_sharded_groupmin_approx_mode():
     n = 1024
     pg = rng.integers(0, 2**32, size=(n, 2), dtype=np.uint32)
     pq = rng.integers(0, 2**32, size=(6, 2), dtype=np.uint32)
-    grouped, canon, valids, _ = shard_grouped_gallery(
+    grouped, canon, valids, _bg, _ = shard_grouped_gallery(
         mesh, pg, groups=4, col_multiple=16
     )
     d, i, fb = sharded_groupmin_topk(
