@@ -20,10 +20,16 @@ from hashgan_tpu.configs import DataConfig
 
 @dataclasses.dataclass
 class SyntheticImageDataset:
-    """In-memory dataset of uint8 images + 0/1 label matrix."""
+    """In-memory dataset of uint8 images + 0/1 label matrix.
+
+    ``templates`` carries the per-class generator templates for synthetic
+    splits (None for list-file data) — a frozen, training-independent
+    classifier for GAN sample-quality metrics hangs off them
+    (eval/sample_quality.make_template_classifier)."""
 
     images: np.ndarray   # (N, H, W, C) uint8
     labels: np.ndarray   # (N, n_classes) float32 0/1
+    templates: Optional[np.ndarray] = None  # (K, H, W, C) float32 [0,255]
 
     def __len__(self) -> int:
         return self.images.shape[0]
@@ -100,7 +106,9 @@ def make_synthetic(
         images[lo:hi] = np.clip(
             base[lo:hi].astype(np.float32) + noise, 0, 255
         ).astype(np.uint8)
-    return SyntheticImageDataset(images=images, labels=labels), templates
+    ds = SyntheticImageDataset(images=images, labels=labels,
+                               templates=templates)
+    return ds, templates
 
 
 def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:

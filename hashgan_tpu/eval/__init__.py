@@ -16,6 +16,7 @@ from hashgan_tpu.eval.streaming import (  # noqa: F401
 )
 from hashgan_tpu.eval.sample_quality import (  # noqa: F401
     inception_score_from_logits,
+    make_template_classifier,
     sample_quality_report,
 )
 from hashgan_tpu.eval.sharded import (  # noqa: F401

@@ -9,6 +9,12 @@ a self-contained conditional-GAN health check (the aux head is exactly the
 classifier PC-WGAN trains). Scores from different classifiers are not
 comparable across papers; this is a monitoring metric, not a leaderboard
 number.
+
+Because the aux head co-trains with the generator, it trends WITH the thing
+being measured. For synthetic data the class templates are known, so
+``make_template_classifier`` provides a FROZEN, generator-independent
+scorer (negative pixel distance to each class template) — the
+``*_tmpl``-suffixed metrics in Experiment.sample_quality come from it.
 """
 
 from __future__ import annotations
@@ -48,6 +54,28 @@ def conditional_accuracy(
     return float(np.mean(logits.argmax(axis=1) == labels.argmax(axis=1)))
 
 
+def make_template_classifier(
+    templates: "np.ndarray", temperature: float | None = None
+) -> Callable:
+    """Frozen nearest-template classifier over GAN-range images.
+
+    templates: (K, H, W, C) in [0, 255] (data/synthetic.py class templates).
+    Returns ``apply(imgs_in_[-1,1]) -> (B, K) logits`` with
+    logit_k = -||x - t_k||^2 / T — independent of anything being trained.
+    """
+    t = jnp.asarray(templates, jnp.float32) / 127.5 - 1.0
+    if temperature is None:
+        temperature = float(t[0].size) * 0.05
+
+    @jax.jit
+    def apply(imgs: jnp.ndarray) -> jnp.ndarray:
+        x = imgs.astype(jnp.float32)
+        d2 = ((x[:, None] - t[None]) ** 2).sum(axis=(2, 3, 4))
+        return -d2 / temperature
+
+    return apply
+
+
 def sample_quality_report(
     generator_apply: Callable,
     classifier_apply: Callable,
@@ -57,10 +85,13 @@ def sample_quality_report(
     n_samples: int = 512,
     batch: int = 64,
     multi_label: bool = False,
+    key_suffix: str = "",
 ) -> Dict[str, float]:
     """Sample G across the label grid, score with a classifier (default use:
     the critic's aux head). Returns IS, conditional accuracy, marginal
-    entropy (bits of label coverage)."""
+    entropy (bits of label coverage). ``key_suffix`` distinguishes reports
+    from different classifiers (e.g. "_tmpl" for the frozen template
+    classifier)."""
     all_logits, all_labels = [], []
     eye = np.eye(n_labels, dtype=np.float32)
     for i in range(0, n_samples, batch):
@@ -77,7 +108,9 @@ def sample_quality_report(
     marginal = probs.mean(axis=0)
     entropy = float(-(marginal * np.log2(marginal + 1e-12)).sum())
     return {
-        "inception_score_aux": inception_score_from_logits(logits),
-        "conditional_accuracy": conditional_accuracy(logits, labels, multi_label),
-        "marginal_label_entropy_bits": entropy,
+        f"inception_score{key_suffix}": inception_score_from_logits(logits),
+        f"conditional_accuracy{key_suffix}": conditional_accuracy(
+            logits, labels, multi_label
+        ),
+        f"marginal_label_entropy_bits{key_suffix}": entropy,
     }

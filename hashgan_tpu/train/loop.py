@@ -164,22 +164,40 @@ class Experiment:
         return means
 
     def sample_quality(self) -> Dict[str, float]:
-        """IS-style GAN health metrics via the critic's aux head (C19)."""
-        from hashgan_tpu.eval.sample_quality import sample_quality_report
+        """IS-style GAN health metrics (C19): via the critic's aux head
+        (``*_aux``) and — on synthetic data, where class templates are
+        known — via a FROZEN nearest-template classifier (``*_tmpl``) that
+        is independent of anything being trained."""
+        from hashgan_tpu.eval.sample_quality import (
+            make_template_classifier,
+            sample_quality_report,
+        )
 
-        return sample_quality_report(
-            lambda z, l: self._sample(
-                self.gan_state.g_params, self.gan_state.g_stats, z, l
-            ),
-            lambda x: self.discriminator.apply(
-                {"params": self.gan_state.d_params}, x
-            )[1],
-            jax.random.key(7),
+        gen = lambda z, l: self._sample(  # noqa: E731
+            self.gan_state.g_params, self.gan_state.g_stats, z, l
+        )
+        common = dict(
+            rng=jax.random.key(7),
             n_labels=self.cfg.data.n_classes,
             z_dim=self.cfg.gan.z_dim,
             n_samples=min(512, 8 * self.cfg.data.n_classes * 8),
             multi_label=self.cfg.data.multi_label,
         )
+        report = sample_quality_report(
+            gen,
+            lambda x: self.discriminator.apply(
+                {"params": self.gan_state.d_params}, x
+            )[1],
+            key_suffix="_aux",
+            **common,
+        )
+        templates = getattr(self.splits["train"], "templates", None)
+        if templates is not None:
+            report.update(sample_quality_report(
+                gen, make_template_classifier(templates),
+                key_suffix="_tmpl", **common,
+            ))
+        return report
 
     def dump_samples(self, step: int) -> None:
         if self._sample is None:

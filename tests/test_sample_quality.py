@@ -47,6 +47,48 @@ def test_report_with_real_models():
         lambda x: disc.apply(dv, x)[1],
         rng, n_labels=4, z_dim=16, n_samples=64, batch=32,
     )
-    assert 1.0 <= report["inception_score_aux"] <= 4.0
+    assert 1.0 <= report["inception_score"] <= 4.0
     assert 0.0 <= report["conditional_accuracy"] <= 1.0
     assert 0.0 <= report["marginal_label_entropy_bits"] <= 2.0 + 1e-6
+
+
+def test_template_classifier_is_independent_and_accurate():
+    """Frozen nearest-template classifier: classifies noisy class images
+    correctly without reference to any trained network (ADVICE r1: the
+    aux-head IS trends with the generator being measured)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hashgan_tpu.data.synthetic import make_synthetic
+    from hashgan_tpu.eval import make_template_classifier
+
+    ds, templates = make_synthetic(64, 5, size=16, noise_scale=30.0, seed=3)
+    assert ds.templates is not None
+    cls = make_template_classifier(templates)
+    imgs = jnp.asarray(ds.images, jnp.float32) / 127.5 - 1.0  # GAN range
+    logits = np.asarray(cls(imgs))
+    pred = logits.argmax(axis=1)
+    truth = ds.labels.argmax(axis=1)
+    assert (pred == truth).mean() > 0.95
+
+
+def test_experiment_sample_quality_has_template_metrics(tmp_path):
+    import dataclasses as dc
+
+    from hashgan_tpu.configs import (
+        Config, DataConfig, EncoderConfig, GanConfig, TrainConfig,
+    )
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = Config(
+        data=DataConfig(n_train=32, n_query=8, n_database=32, n_classes=4),
+        gan=GanConfig(dim=16, z_dim=16, n_critic=2, iters=10),
+        encoder=EncoderConfig(arch="small_cnn", bits=16),
+        train=TrainConfig(batch_size=8),
+        use_gan=True,
+    )
+    exp = Experiment(cfg, workdir=str(tmp_path), use_mesh=False)
+    report = exp.sample_quality()
+    for key in ("inception_score_aux", "inception_score_tmpl",
+                "conditional_accuracy_tmpl"):
+        assert key in report, report.keys()
