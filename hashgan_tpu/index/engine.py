@@ -29,13 +29,16 @@ class QueryResult:
 class QueryEngine:
     """encode -> pack -> group-min scan, wrapped for serving."""
 
-    def __init__(self, encoder, params, gallery: PackedGallery):
+    def __init__(self, encoder, params, gallery: PackedGallery,
+                 cfg: Optional[Config] = None):
         from hashgan_tpu.train.hash_step import make_encode_fn
 
         self.encoder = encoder
         self.params = params
         self.gallery = gallery
-        self._encode = make_encode_fn(encoder)
+        # cfg threads the eval-time input geometry (the reference's
+        # resize-256 -> center-crop-227 AlexNet protocol) into encoding.
+        self._encode = make_encode_fn(encoder, cfg)
 
     @classmethod
     def from_artifacts(
@@ -50,7 +53,7 @@ class QueryEngine:
         exp = Experiment(cfg, workdir=workdir, use_mesh=mesh is not None)
         exp.restore_checkpoint()
         gallery = PackedGallery.load(gallery_path, mesh=mesh)
-        return cls(exp.encoder, exp.encoder_state.params, gallery)
+        return cls(exp.encoder, exp.encoder_state.params, gallery, cfg=cfg)
 
     def encode(self, images_u8: np.ndarray) -> jnp.ndarray:
         return self._encode(self.params, jnp.asarray(images_u8))
