@@ -124,3 +124,32 @@ def test_sharded_mxu_matches_single_chip(n_dev):
         order = np.argsort(d_full[qi], kind="stable")[:k]
         np.testing.assert_array_equal(i[qi], order)
         np.testing.assert_array_equal(d[qi], d_full[qi][order])
+
+
+def test_mxu_approx_mode_recall():
+    """Approx mode (group minima + ApproxTopK, no rescan) keeps high recall
+    of the true top-k and honors the padding contract."""
+    rng = np.random.default_rng(11)
+    n, bits, k = 4096, 64, 50
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    # groups=8 -> C=512 columns: expected group collisions ~ k^2/(2C) ~ 2.4
+    # of 50, so mean recall should sit near 0.95 (production L=128/C=8192
+    # collides ~15x less)
+    packed, gg, bgf = _build(codes, groups=8, col_multiple=32)
+    pq = jnp.asarray(pack_codes_np(
+        np.where(rng.uniform(size=(8, bits)) < 0.5, -1.0, 1.0).astype(np.float32)))
+    d, i = mxu_topk(pq, gg, bgf, valid_n=n, k=k, mode="approx",
+                    query_tile=8, col_block=32, interpret=True,
+                    recall_target=0.99)
+    d, i = np.asarray(d), np.asarray(i)
+    d_full = hamming_distance_np(np.asarray(pq), packed)
+    recalls = []
+    for qi in range(8):
+        true = set(np.argsort(d_full[qi], kind="stable")[:k].tolist())
+        got = set(i[qi][i[qi] < n].tolist())
+        # distances of returned ids must be correct
+        for pos, idx in enumerate(i[qi]):
+            if idx < n:
+                assert d[qi][pos] == d_full[qi][idx]
+        recalls.append(len(true & got) / k)
+    assert np.mean(recalls) > 0.9, recalls
