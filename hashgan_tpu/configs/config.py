@@ -105,6 +105,9 @@ class TrainConfig:
     crop_pad: int = 0                     # pad-and-random-crop aug (0 = off)
     prefetch: int = 2                     # batches in flight host->device
     epoch_shuffle: bool = False           # without-replacement epoch sampling
+    # Stage-II batch policy: "random" | "balanced" (label-conditioned pair
+    # sampling — BASELINE config 3's guarantee of positive pairs per batch).
+    pair_sampling: str = "random"
 
 
 @dataclass(frozen=True)
@@ -184,6 +187,9 @@ def _nuswide_gan() -> Config:
         ),
         gan=GanConfig(dim=128),
         encoder=EncoderConfig(arch="alexnet", bits=64),
+        # BASELINE config 3: label-conditioned pair sampling (multi-label
+        # batches must contain positive pairs for the WML loss).
+        train=TrainConfig(pair_sampling="balanced"),
         index=IndexConfig(bits=64),
         eval=EvalConfig(R=5000),
         use_gan=True,

@@ -21,13 +21,18 @@ from hashgan_tpu.data.synthetic import SyntheticImageDataset
 class BatchIterator:
     """Yields (images uint8 (B,H,W,C), labels f32 (B,K)) batches.
 
-    Two sampling modes, both step-pure (``batch(step)`` is a function of
+    Sampling modes, all step-pure (``batch(step)`` is a function of
     (seed, step) only, so checkpoint resume replays the exact data order):
 
     - with replacement (default): per-step uniform draw.
     - ``epoch_shuffle``: the reference's protocol (SURVEY.md §3.5
       "shuffle epoch") — a per-epoch permutation without replacement,
       epoch = step // batches_per_epoch, seeded by (seed, epoch).
+    - ``pair_balanced``: label-conditioned pair sampling (BASELINE config 3):
+      the first half of the batch is drawn uniformly, the second half pairs
+      each first-half item with another example sharing >= 1 active label —
+      guaranteeing the WML loss a floor of B/2 positive pairs per batch even
+      on sparse multi-label data (random batches can starve it).
 
     ``start_step`` lets a resumed run continue the sequence.
     """
@@ -39,13 +44,37 @@ class BatchIterator:
         seed: int = 0,
         start_step: int = 0,
         epoch_shuffle: bool = False,
+        pair_balanced: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.step = start_step
         self.epoch_shuffle = epoch_shuffle
+        self.pair_balanced = pair_balanced
         self._perm_cache: Tuple[int, np.ndarray] | None = None
+        self._class_index: list | None = None
+
+    def _partners(self, rng: np.random.Generator, idx: np.ndarray) -> np.ndarray:
+        """For each item, a (step-pure) partner sharing >= 1 active label;
+        items whose classes are singletons partner with themselves."""
+        if self._class_index is None:
+            labels = self.dataset.labels
+            self._class_index = [
+                np.flatnonzero(labels[:, c] > 0.5)
+                for c in range(labels.shape[1])
+            ]
+        labels = self.dataset.labels
+        partners = np.empty_like(idx)
+        for j, i in enumerate(idx):
+            active = np.flatnonzero(labels[i] > 0.5)
+            if active.size == 0:
+                partners[j] = i
+                continue
+            c = active[rng.integers(0, active.size)]
+            pool = self._class_index[c]
+            partners[j] = pool[rng.integers(0, pool.size)]
+        return partners
 
     def _epoch_perm(self, epoch: int) -> np.ndarray:
         if self._perm_cache is not None and self._perm_cache[0] == epoch:
@@ -57,6 +86,13 @@ class BatchIterator:
 
     def batch(self, step: int) -> Tuple[np.ndarray, np.ndarray]:
         n = len(self.dataset)
+        if self.pair_balanced:
+            rng = np.random.default_rng((self.seed, step, 0xBA1A))
+            half = self.batch_size // 2
+            anchors = rng.integers(0, n, size=self.batch_size - half)
+            partners = self._partners(rng, anchors[:half])
+            idx = np.concatenate([anchors, partners])
+            return self.dataset.images[idx], self.dataset.labels[idx]
         if self.epoch_shuffle:
             bpe = max(1, n // self.batch_size)  # drop the ragged remainder
             epoch, pos = divmod(step, bpe)
@@ -86,16 +122,20 @@ def pair_batch_iterator(
     batch_size: int,
     seed: int = 0,
     start_step: int = 0,
+    policy: str = "random",
 ) -> BatchIterator:
     """Iterator for pairwise-supervised training.
 
-    The WML loss consumes all B^2 pairs inside a batch (SURVEY.md C12), so a
-    plain shuffled batch suffices: similarity S_ij is computed on-device from
-    the labels. Kept as a named constructor in case label-balanced sampling
-    (reference's label-conditioned pair sampling, BASELINE config 3) needs a
-    different policy later.
+    The WML loss consumes all B^2 pairs inside a batch (SURVEY.md C12).
+    policy="random": plain shuffled batches (S_ij computed on-device from
+    labels). policy="balanced": label-conditioned pair sampling (BASELINE
+    config 3) — half the batch is paired with same-label partners so sparse
+    multi-label data always yields positive pairs.
     """
-    return BatchIterator(dataset, batch_size, seed=seed, start_step=start_step)
+    return BatchIterator(
+        dataset, batch_size, seed=seed, start_step=start_step,
+        pair_balanced=(policy == "balanced"),
+    )
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

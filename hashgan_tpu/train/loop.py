@@ -263,6 +263,7 @@ class Experiment:
             self.splits["train"], cfg.train.batch_size, seed=cfg.train.seed + 1,
             start_step=int(jax.device_get(self.encoder_state.step)),
             epoch_shuffle=cfg.train.epoch_shuffle,
+            pair_balanced=(cfg.train.pair_sampling == "balanced"),
         )
         rng = self._rng_seed
         means: Dict[str, float] = {}

@@ -58,3 +58,39 @@ def test_epoch_batches_padding():
         assert imgs.shape[0] == 32
         total += mask.sum()
     assert total == 70
+
+
+def test_pair_balanced_batches_guarantee_positive_pairs():
+    """Label-conditioned pair sampling (BASELINE config 3): the second half
+    of the batch pairs each first-half anchor with a same-label partner."""
+    import numpy as np
+
+    from hashgan_tpu.data.pipeline import BatchIterator
+    from hashgan_tpu.data.synthetic import make_synthetic
+
+    ds, _ = make_synthetic(200, 21, size=8, multi_label=True, seed=0)
+    it = BatchIterator(ds, batch_size=32, seed=5, pair_balanced=True)
+    for _ in range(4):
+        imgs, labs = next(it)
+        half = 16
+        anchors, partners = labs[:half], labs[half:]
+        shared = (anchors * partners).sum(axis=1)
+        assert (shared > 0).all()  # every pair shares >= 1 active label
+
+
+def test_pair_balanced_is_step_pure_for_resume():
+    import numpy as np
+
+    from hashgan_tpu.data.pipeline import BatchIterator
+    from hashgan_tpu.data.synthetic import make_synthetic
+
+    ds, _ = make_synthetic(100, 5, size=8, seed=1)
+    a = BatchIterator(ds, batch_size=16, seed=9, pair_balanced=True)
+    for _ in range(3):
+        next(a)
+    b = BatchIterator(ds, batch_size=16, seed=9, start_step=3,
+                      pair_balanced=True)
+    ia, la = next(a)
+    ib, lb = next(b)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(la, lb)
