@@ -24,7 +24,7 @@ This package is a clean-room, TPU-first re-design (see SURVEY.md):
 Reference parity map lives in SURVEY.md section 2 (components C1-C24).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def __getattr__(name):

@@ -1,0 +1,65 @@
+"""End-to-end serving benchmark: images -> codes -> ranked neighbors.
+
+Measures the QueryEngine path (encoder forward + sign/bitpack + MXU
+Hamming top-k + result host copy) — the latency/throughput a retrieval
+service would see, per query batch, against a 1M-item gallery. Unlike
+bench_scan.py (pure scan throughput), this includes the encoder and the
+result materialization.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_serving_bench(
+    bits: int = 48,
+    n: int = 1 << 20,
+    batch: int = 256,
+    image_size: int = 32,
+    k: int = 100,
+    iters: int = 5,
+) -> Dict:
+    from hashgan_tpu.index import QueryEngine, build_gallery
+    from hashgan_tpu.models import build_encoder
+    from hashgan_tpu.ops.pack import pack_codes_jnp
+
+    rng = np.random.default_rng(0)
+    encoder = build_encoder("small_cnn", bits)
+    dummy = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+    params = encoder.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        dummy, train=False,
+    )["params"]
+    # gallery: packed random codes (the serving artifact)
+    codes = rng.standard_normal((n, bits)).astype(np.float32)
+    labels = np.zeros((n, 1), np.float32)
+    gallery = build_gallery(jnp.asarray(codes), labels, bits)
+    engine = QueryEngine(encoder, params, gallery)
+    images = rng.integers(0, 255, (batch, image_size, image_size, 3)).astype(np.uint8)
+
+    out = {"bits": bits, "gallery": n, "batch": batch, "k": k,
+           "backend": jax.default_backend()}
+    for mode in ("exact", "approx"):
+        _ = engine.query_images(images, k=k, mode=mode)  # compile + warm
+        times = []
+        for _i in range(iters):
+            t0 = time.perf_counter()
+            res = engine.query_images(images, k=k, mode=mode)
+            assert res.indices.shape[0] == batch
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        out[f"seconds_{mode}"] = dt
+        out[f"qps_{mode}"] = batch / dt
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(run_serving_bench()))

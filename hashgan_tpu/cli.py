@@ -120,6 +120,14 @@ def cmd_bench_scan(args) -> None:
     print(json.dumps(run_bench(bits=args.bits, n=args.n, q=args.q)))
 
 
+def cmd_bench_serve(args) -> None:
+    from hashgan_tpu.bench_serve import run_serving_bench
+
+    print(json.dumps(run_serving_bench(
+        bits=args.bits, n=args.n, batch=args.batch, k=args.k
+    )))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="hashgan_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +171,14 @@ def main(argv=None) -> None:
     s.add_argument("--n", type=int, default=1_000_000)
     s.add_argument("--q", type=int, default=1024)
     s.set_defaults(fn=cmd_bench_scan)
+
+    v = sub.add_parser("bench-serve",
+                       help="end-to-end serving benchmark (images -> neighbors)")
+    v.add_argument("--bits", type=int, default=48)
+    v.add_argument("--n", type=int, default=1_000_000)
+    v.add_argument("--batch", type=int, default=256)
+    v.add_argument("--k", type=int, default=100)
+    v.set_defaults(fn=cmd_bench_serve)
 
     args = p.parse_args(argv)
     args.fn(args)

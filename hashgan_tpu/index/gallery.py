@@ -150,11 +150,47 @@ class PackedGallery:
             valid_n=self.n, mode=mode,
         )
 
+    def canonical_packed(self) -> np.ndarray:
+        """(n, W) canonical packed codes (host copy)."""
+        return np.asarray(self.gallery_t).T[: self.n]
+
+    def extend(self, codes: jnp.ndarray, labels: np.ndarray,
+               use_pallas: bool | None = None) -> "PackedGallery":
+        """Append items; returns a NEW gallery (functional, like everything
+        else in this framework). New items take ids n..n+m-1; existing ids
+        are stable. The scan layouts are rebuilt — they are pure layout
+        transforms (memcpy-speed), and rebuilding keeps the contiguous-id
+        tie-order contract exact rather than bolting on tombstones."""
+        packed_new = np.asarray(pack_codes(jnp.asarray(codes),
+                                           use_pallas=use_pallas))
+        packed = np.concatenate([self.canonical_packed(), packed_new], axis=0)
+        labels_all = np.concatenate(
+            [self.labels[: self.n], np.asarray(labels)], axis=0
+        )
+        return build_gallery_from_packed(packed, labels_all, self.bits,
+                                         mesh=self.mesh)
+
+    def remove(self, ids) -> Tuple["PackedGallery", np.ndarray]:
+        """Delete items; returns (new gallery, id_map) where
+        ``id_map[new_id] = old_id``. Ids are reassigned to stay contiguous
+        (the exact tie-order contract ranks by database index, so stable
+        ids with holes would silently change ranking semantics — the id map
+        makes the translation explicit instead)."""
+        mask = np.ones(self.n, dtype=bool)
+        mask[np.asarray(ids)] = False
+        keep = np.flatnonzero(mask)
+        packed = self.canonical_packed()[keep]
+        labels = self.labels[: self.n][keep]
+        return (
+            build_gallery_from_packed(packed, labels, self.bits,
+                                      mesh=self.mesh),
+            keep,
+        )
+
     def save(self, path: str) -> None:
         from hashgan_tpu.utils.checkpoint import save_gallery
 
-        packed = np.asarray(self.gallery_t).T[: self.n]  # canonical (N, W)
-        save_gallery(path, packed, self.labels, self.bits)
+        save_gallery(path, self.canonical_packed(), self.labels, self.bits)
 
     @classmethod
     def load(cls, path: str, mesh: Optional[Mesh] = None) -> "PackedGallery":

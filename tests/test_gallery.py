@@ -61,3 +61,42 @@ def test_gallery_save_load_roundtrip(tmp_path):
         np.asarray(gal2.gallery_t), np.asarray(gal.gallery_t)
     )
     np.testing.assert_array_equal(gal2.labels, labels)
+
+
+def test_gallery_extend_and_remove_stay_exact():
+    """Incremental index maintenance: extend appends with stable existing
+    ids; remove reassigns contiguous ids and returns the id map — both
+    rebuild layouts so rankings stay oracle-exact."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hashgan_tpu.index import build_gallery
+    from hashgan_tpu.ops import hamming_distance_np, pack_codes_np
+
+    rng = np.random.default_rng(0)
+    bits, k = 32, 20
+    c1 = rng.standard_normal((300, bits)).astype(np.float32)
+    c2 = rng.standard_normal((150, bits)).astype(np.float32)
+    lab = lambda n: np.eye(2, dtype=np.float32)[np.zeros(n, int)]  # noqa: E731
+    gal = build_gallery(jnp.asarray(c1), lab(300), bits, use_pallas=False)
+    gal2 = gal.extend(jnp.asarray(c2), lab(150), use_pallas=False)
+    assert gal2.n == 450
+
+    q = rng.standard_normal((5, bits)).astype(np.float32)
+    pq = jnp.asarray(pack_codes_np(q))
+    d, i = gal2.topk(pq, k=k, use_pallas=False)
+    all_packed = np.concatenate([pack_codes_np(c1), pack_codes_np(c2)])
+    d_full = hamming_distance_np(np.asarray(pq), all_packed)
+    for qi in range(5):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(i)[qi], order)
+
+    gal3, keep = gal2.remove(np.arange(0, 450, 3))  # drop every 3rd
+    assert gal3.n == 300 and keep.shape == (300,)
+    d, i = gal3.topk(pq, k=k, use_pallas=False)
+    d_kept = d_full[:, keep]
+    for qi in range(5):
+        order = np.argsort(d_kept[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(i)[qi], order)
+        # id map translates back to original ids
+        assert set(keep[np.asarray(i)[qi]]) <= set(keep.tolist())
