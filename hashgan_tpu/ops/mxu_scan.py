@@ -190,6 +190,52 @@ def _rescan_winner_columns(packed_q, canon_bg_flat, cols, L, c_total, w,
     return key.reshape(q, m * L)
 
 
+def _select_winner_columns(min1: jnp.ndarray, kk: int, g2: int = 16):
+    """Exact top-kk column selection over (Q, C) group-min keys, ordered by
+    (key asc, column asc) — identical semantics to ``top_k(-min1)`` (whose
+    positional ties ARE ascending column) but ~2x cheaper at large C via a
+    second grouping level:
+
+    1. super-min over runs of ``g2`` columns -> top-kk super-groups. Any
+       column whose min is in the global top-kk lives in a winner
+       super-group (>= kk strictly-lower keys otherwise — counting one per
+       better super-group, ties resolved toward lower column ranges whose
+       items also have lower global indices).
+    2. within super-winner j (ascending super-min), a column with a global
+       top-kk min has at most kk-1-j columns ranked before it ((key, c)
+       lexicographic — ties toward lower c are also lower-index items), so
+       keeping the first min(g2, kk-j) columns per super is lossless.
+    3. one lexicographic (key, column) sort of the ~kk*(g2+kk)/2 surviving
+       candidates replaces the full-width top_k.
+
+    Returns (keys (Q, kk), cols (Q, kk) int32).
+    """
+    q, c = min1.shape
+    n_super = c // g2
+    m_super = min(kk, n_super)
+    supers = min1.reshape(q, n_super, g2)
+    smin = supers.min(axis=2)
+    _, sids = jax.lax.top_k(-smin, m_super)                  # (Q, S) asc
+    cand_k = jnp.take_along_axis(supers, sids[:, :, None], axis=1)
+    cand_c = (sids[:, :, None] * g2
+              + jax.lax.broadcasted_iota(jnp.int32, (q, m_super, g2), 2))
+    # within-super (key, c) sort; lanes are already ascending-c so a stable
+    # single-key sort would also do — the two-key sort makes it explicit
+    cand_k, cand_c = jax.lax.sort(
+        (cand_k, cand_c), dimension=2, num_keys=1, is_stable=True
+    )
+    parts_k = [cand_k[:, j, : min(g2, kk - j)] for j in range(m_super)
+               if kk - j > 0]
+    parts_c = [cand_c[:, j, : min(g2, kk - j)] for j in range(m_super)
+               if kk - j > 0]
+    flat_k = jnp.concatenate(parts_k, axis=1)
+    flat_c = jnp.concatenate(parts_c, axis=1)
+    flat_k, flat_c = jax.lax.sort(
+        (flat_k, flat_c), dimension=1, num_keys=2
+    )
+    return flat_k[:, :kk], flat_c[:, :kk]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "query_tile", "col_block", "interpret", "mode",
@@ -252,7 +298,10 @@ def mxu_topk(
             i = jnp.pad(i, ((0, 0), (0, kk - m)), constant_values=n_total)
         return d, i
 
-    _, cols = jax.lax.top_k(-min1, m)
+    if c >= 1024 and c % 16 == 0:
+        _, cols = _select_winner_columns(min1, m)
+    else:  # small column counts: direct top_k is already cheap
+        _, cols = jax.lax.top_k(-min1, m)
     rescan = _rescan_winner_columns(
         packed_q, canon_bg_flat, cols, L, c, w, stride, valid_n
     )

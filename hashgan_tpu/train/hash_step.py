@@ -138,14 +138,34 @@ def encode_dataset(
     params,
     dataset,
     batch_size: int = 256,
+    mesh=None,
 ) -> "np.ndarray":
-    """Encode a full split with static batch shapes (padded final batch)."""
+    """Encode a full split with static batch shapes (padded final batch).
+
+    Under a mesh, batches are sharded on the batch axis so XLA partitions
+    the encoder forward across devices. Note: partitioned matmuls may sum
+    in a different order, so codes agree with single-device encoding only
+    to f32 rounding (NOT bit-exact) — Experiment therefore shards encoding
+    only for large splits, where the 1/n_devices wall-clock matters.
+    ``batch_size`` is rounded up to a mesh multiple."""
     import numpy as np
 
     from hashgan_tpu.data.pipeline import epoch_batches
 
+    sharding = None
+    if mesh is not None and mesh.size > 1:
+        import jax as _jax
+
+        from hashgan_tpu.parallel import data_sharding
+
+        batch_size = ((batch_size + mesh.size - 1) // mesh.size) * mesh.size
+        sharding = data_sharding(mesh, 4)
+
     out = []
     for imgs, _labs, mask in epoch_batches(dataset, batch_size):
-        codes = np.asarray(encode_fn(params, imgs))
+        batch = imgs
+        if sharding is not None:
+            batch = _jax.device_put(batch, sharding)
+        codes = np.asarray(encode_fn(params, batch))
         out.append(codes[mask])
     return np.concatenate(out, axis=0)

@@ -304,9 +304,14 @@ class Experiment:
     # Eval / index / query
     # ------------------------------------------------------------------
     def encode_split(self, split: str) -> np.ndarray:
+        n = len(self.splits[split])
         return encode_dataset(
             self._encode, self.encoder_state.params, self.splits[split],
-            batch_size=min(256, max(32, len(self.splits[split]))),
+            batch_size=min(256, max(32, n)),
+            # shard the forward only where it pays: partitioned matmuls sum
+            # in a different order (f32-rounding-level code differences), so
+            # small splits stay single-device for strict determinism
+            mesh=self.mesh if n >= 50_000 else None,
         )
 
     def build_index(self, save_path: Optional[str] = None) -> PackedGallery:

@@ -92,3 +92,29 @@ def test_gan_cycle_matches_across_mesh_sizes():
     for key in results[1]:
         a, c = float(results[1][key]), float(results[8][key])
         assert abs(a - c) < 2e-3 * max(1.0, abs(a)), (key, a, c)
+
+
+def test_encode_dataset_sharded_equals_single():
+    """Mesh-sharded encoding (batch-partitioned forward) matches
+    single-device encoding to f32 rounding (partitioned matmuls may sum in
+    a different order, so bit-exactness is not guaranteed)."""
+    import jax
+    import numpy as np
+
+    from hashgan_tpu.data.synthetic import make_synthetic
+    from hashgan_tpu.models import SmallCNNEncoder
+    from hashgan_tpu.parallel import make_mesh
+    from hashgan_tpu.train.hash_step import encode_dataset, make_encode_fn
+
+    ds, _ = make_synthetic(70, 4, size=16, seed=0)  # ragged final batch
+    enc = SmallCNNEncoder(bits=16, dim=16)
+    params = enc.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        np.zeros((2, 16, 16, 3), np.float32), train=False,
+    )["params"]
+    fn = make_encode_fn(enc)
+    solo = encode_dataset(fn, params, ds, batch_size=32, mesh=None)
+    mesh = make_mesh(8)
+    sharded = encode_dataset(fn, params, ds, batch_size=32, mesh=mesh)
+    assert solo.shape == sharded.shape
+    np.testing.assert_allclose(solo, sharded, atol=5e-6)

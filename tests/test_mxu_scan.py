@@ -153,3 +153,37 @@ def test_mxu_approx_mode_recall():
                 assert d[qi][pos] == d_full[qi][idx]
         recalls.append(len(true & got) / k)
     assert np.mean(recalls) > 0.9, recalls
+
+
+@_pytest.mark.parametrize("seed,tie_p", [(0, 0.5), (1, 0.05)])
+def test_mxu_topk_two_level_selection_path(seed, tie_p):
+    """Galleries with >= 1024 columns route the prelim through the two-level
+    winner selection (_select_winner_columns); must stay oracle-exact,
+    including under heavy ties (tie_p=0.05 makes most codes collide)."""
+    rng = np.random.default_rng(seed)
+    n, bits, k = 8192, 32, 100  # groups=8, cm=128 -> C=1024 columns
+    codes = np.where(rng.uniform(size=(n, bits)) < tie_p, -1.0, 1.0).astype(np.float32)
+    packed, gg, bgf = _build(codes, groups=8, col_multiple=128)
+    assert gg.shape[2] >= 1024
+    pq = jnp.asarray(pack_codes_np(
+        np.where(rng.uniform(size=(4, bits)) < 0.5, -1.0, 1.0).astype(np.float32)))
+    d, i = mxu_topk(pq, gg, bgf, valid_n=n, k=k,
+                    query_tile=8, col_block=128, interpret=True)
+    d, i = np.asarray(d), np.asarray(i)
+    d_full = hamming_distance_np(np.asarray(pq), packed)
+    for qi in range(4):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(i[qi], order)
+        np.testing.assert_array_equal(d[qi], d_full[qi][order])
+
+
+def test_select_winner_columns_matches_topk():
+    from hashgan_tpu.ops.mxu_scan import _select_winner_columns
+
+    rng = np.random.default_rng(3)
+    # many duplicate keys to stress the (key, column) tie contract
+    min1 = jnp.asarray(rng.integers(0, 50, (6, 2048)).astype(np.float32))
+    keys, cols = _select_winner_columns(min1, 100)
+    negv, ref_cols = jax.lax.top_k(-min1, 100)  # positional ties = asc col
+    np.testing.assert_array_equal(np.asarray(cols), np.asarray(ref_cols))
+    np.testing.assert_array_equal(np.asarray(keys), np.asarray(-negv))
