@@ -70,10 +70,12 @@ class PackedGallery:
         if self.mesh is not None and self.mesh.size > 1:
             if use_pallas and self.gallery_grouped is not None:
                 grouped, canon, valids, canon_bg = self.gallery_grouped
-                if repair is None:
+                if repair is None and k <= 256:
                     # Flagship multi-chip engine: per-shard MXU scan +
                     # winner rescan, position-key ICI merge. Exact, no
-                    # fallback, data-independent latency.
+                    # fallback, data-independent latency. (k > 256 falls
+                    # through to the sharded sort merge — see the
+                    # single-chip branch.)
                     from hashgan_tpu.parallel.sharded_scan import (
                         sharded_mxu_topk,
                     )
@@ -81,6 +83,11 @@ class PackedGallery:
                     return sharded_mxu_topk(
                         self.mesh, packed_q, grouped, canon_bg, valids,
                         n=self.n, k=k, mode=mode,
+                    )
+                if repair is None:
+                    return sharded_hamming_topk(
+                        self.mesh, packed_q, self.gallery_t, k=k, slab=slab,
+                        use_pallas=use_pallas, valid_n=self.n,
                     )
                 from hashgan_tpu.parallel.sharded_scan import (
                     sharded_groupmin_topk,
@@ -110,23 +117,29 @@ class PackedGallery:
                 use_pallas=use_pallas, valid_n=self.n,
             )
         if (use_pallas and self.canon_bg is not None
-                and self.gallery_grouped is not None and repair is None):
+                and self.gallery_grouped is not None and repair is None
+                and k <= 256):
             # Flagship single-chip engine: MXU matmul distances + winner-
             # column rescan — exact with data-independent latency (or
             # ApproxTopK group-minima selection in approx mode). An explicit
-            # ``repair`` falls through to the legacy group-min/min2 engine.
+            # ``repair`` falls through to the legacy group-min/min2 engine;
+            # k > 256 falls through to the sort engine (the winner rescan
+            # gathers k*L items/query — past a few hundred k the streaming
+            # sort merge is the better-shaped computation).
             from hashgan_tpu.ops.mxu_scan import mxu_topk
 
             return mxu_topk(
                 packed_q, self.gallery_grouped, self.canon_bg,
                 valid_n=self.n, k=k, mode=mode,
             )
-        if use_pallas and self.gallery_grouped is not None:
+        if (use_pallas and self.gallery_grouped is not None
+                and repair is not None):
+            # Legacy group-min/min2 engine, selected by an explicit repair.
             from hashgan_tpu.ops.groupmin import groupmin_topk
 
             kk = min(k, self.gallery_grouped.shape[1]
                      * self.gallery_grouped.shape[2])
-            rep = kk if repair is None else min(repair, kk)
+            rep = min(repair, kk)
             d, i, fb = groupmin_topk(
                 packed_q, self.gallery_grouped, self.packed_canonical,
                 valid_n=self.n, k=k, repair=rep,
