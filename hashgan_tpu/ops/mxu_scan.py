@@ -190,50 +190,47 @@ def _rescan_winner_columns(packed_q, canon_bg_flat, cols, L, c_total, w,
     return key.reshape(q, m * L)
 
 
-def _select_winner_columns(min1: jnp.ndarray, kk: int, g2: int = 16):
-    """Exact top-kk column selection over (Q, C) group-min keys, ordered by
-    (key asc, column asc) — identical semantics to ``top_k(-min1)`` (whose
-    positional ties ARE ascending column) but ~2x cheaper at large C via a
-    second grouping level:
+def _full_column_keys(min1: jnp.ndarray, L: int, c: int, stride: int):
+    """(Q, C) f32 group-min keys -> (Q, C) int32 DISTINCT full composite
+    keys ``d*stride + (s*C + col)``. Distinctness (the global index is
+    unique) is what makes the two-level min selections below tie-free.
+    Padding columns (key >= PAD_PENALTY — the whole column was layout
+    padding) map to INT32_MAX."""
+    q, _ = min1.shape
+    key_i = min1.astype(jnp.int32)
+    is_pad = key_i >= jnp.int32(PAD_PENALTY)
+    d = key_i // L
+    s = key_i % L
+    cols = jax.lax.broadcasted_iota(jnp.int32, (q, c), 1)
+    full = d * stride + s * c + cols
+    return jnp.where(is_pad, INT32_MAX, full)
 
-    1. super-min over runs of ``g2`` columns -> top-kk super-groups. Any
-       column whose min is in the global top-kk lives in a winner
-       super-group (>= kk strictly-lower keys otherwise — counting one per
-       better super-group, ties resolved toward lower column ranges whose
-       items also have lower global indices).
-    2. within super-winner j (ascending super-min), a column with a global
-       top-kk min has at most kk-1-j columns ranked before it ((key, c)
-       lexicographic — ties toward lower c are also lower-index items), so
-       keeping the first min(g2, kk-j) columns per super is lossless.
-    3. one lexicographic (key, column) sort of the ~kk*(g2+kk)/2 surviving
-       candidates replaces the full-width top_k.
 
-    Returns (keys (Q, kk), cols (Q, kk) int32).
+def _twolevel_topk_min(keys: jnp.ndarray, kk: int, g: int = 16):
+    """Exact kk smallest of (Q, M) DISTINCT int32 keys via a subgroup level:
+    any global top-kk key lives in a subgroup whose min is among the kk
+    smallest subgroup minima (otherwise kk strictly smaller keys exist), so
+    top-kk over M reduces to top-kk over M/g minima plus top-kk over the
+    kk*g surviving candidates. Returns (keys (Q, kk), positions (Q, kk)
+    int32 into M). Falls back to direct top_k when the reduction can't
+    shrink the problem.
     """
-    q, c = min1.shape
-    n_super = c // g2
-    m_super = min(kk, n_super)
-    supers = min1.reshape(q, n_super, g2)
-    smin = supers.min(axis=2)
-    _, sids = jax.lax.top_k(-smin, m_super)                  # (Q, S) asc
-    cand_k = jnp.take_along_axis(supers, sids[:, :, None], axis=1)
-    cand_c = (sids[:, :, None] * g2
-              + jax.lax.broadcasted_iota(jnp.int32, (q, m_super, g2), 2))
-    # within-super (key, c) sort; lanes are already ascending-c so a stable
-    # single-key sort would also do — the two-key sort makes it explicit
-    cand_k, cand_c = jax.lax.sort(
-        (cand_k, cand_c), dimension=2, num_keys=1, is_stable=True
+    q, m = keys.shape
+    n_sub = m // g
+    if n_sub < kk or m <= 4 * kk or m % g != 0:
+        negk, pos = jax.lax.top_k(-keys, kk)
+        return -negk, pos
+    sub = keys.reshape(q, n_sub, g)
+    _, sids = jax.lax.top_k(-sub.min(axis=2), kk)            # (Q, kk)
+    cand = jnp.take_along_axis(sub, sids[:, :, None], axis=1)  # (Q, kk, g)
+    negk, p = jax.lax.top_k(-cand.reshape(q, kk * g), kk)
+    pos = jnp.take_along_axis(
+        (sids[:, :, None] * g
+         + jax.lax.broadcasted_iota(jnp.int32, (q, kk, g), 2)
+         ).reshape(q, kk * g),
+        p, axis=1,
     )
-    parts_k = [cand_k[:, j, : min(g2, kk - j)] for j in range(m_super)
-               if kk - j > 0]
-    parts_c = [cand_c[:, j, : min(g2, kk - j)] for j in range(m_super)
-               if kk - j > 0]
-    flat_k = jnp.concatenate(parts_k, axis=1)
-    flat_c = jnp.concatenate(parts_c, axis=1)
-    flat_k, flat_c = jax.lax.sort(
-        (flat_k, flat_c), dimension=1, num_keys=2
-    )
-    return flat_k[:, :kk], flat_c[:, :kk]
+    return -negk, pos
 
 
 @functools.partial(
@@ -298,27 +295,22 @@ def mxu_topk(
             i = jnp.pad(i, ((0, 0), (0, kk - m)), constant_values=n_total)
         return d, i
 
-    if c >= 1024 and c % 16 == 0:
-        _, cols = _select_winner_columns(min1, m)
-    else:  # small column counts: direct top_k is already cheap
-        _, cols = jax.lax.top_k(-min1, m)
+    # Winner-column selection over DISTINCT full composite keys (the group
+    # min's own key, reconstructed from (d, s) + column id): two-level
+    # min-reduction replaces the lexicographic sorts — exact and tie-free
+    # because keys are globally unique item keys.
+    full_keys = _full_column_keys(min1, L, c, stride)
+    _, cols = _twolevel_topk_min(full_keys, m)
     rescan = _rescan_winner_columns(
         packed_q, canon_bg_flat, cols, L, c, w, stride, valid_n
     )
-    # Rank-bound truncation: cols are in ascending-min order, and winner j
-    # has j group minima strictly below every one of its members, so it can
-    # place at most kk-j members in the top-kk. Sorting each group (cheap
-    # 128-wide sorts) and keeping the per-rank prefix shrinks the final
-    # merge from m*L keys to ~kk^2/2 without losing exactness.
-    sorted3 = jnp.sort(rescan.reshape(q, m, L), axis=2)
-    parts = [
-        sorted3[:, j, : min(L, kk - j)]
-        for j in range(m)
-        if kk - j > 0
-    ]
-    cand = jnp.concatenate(parts, axis=1)
-    negk, _ = jax.lax.top_k(-cand, kk)
-    final = -negk
+    # Final merge by the same rank-bound argument one level down: every
+    # global top-kk key lives in a subgroup (g consecutive rescan slots)
+    # whose min is among the kk smallest subgroup minima — so two cheap
+    # top_k calls (kk of m*L/g minima, then kk of kk*g candidates) replace
+    # the per-group sorts + wide top_k of the previous design (measured
+    # 14 ms -> ~2 ms at 1M x 1024q x k=100).
+    final, _ = _twolevel_topk_min(rescan, kk)
     is_pad = final == INT32_MAX
     d = jnp.where(is_pad, bits + 1, final // stride)
     i = jnp.where(is_pad, n_total, final % stride)

@@ -2,6 +2,9 @@
 must produce bit-identical results to an uninterrupted one — both model
 params (orbax restore) and data order (step-seeded batches)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-loop integration tests; -m 'not slow' skips
 import numpy as np
 
 from hashgan_tpu.configs import Config, DataConfig, EncoderConfig, TrainConfig

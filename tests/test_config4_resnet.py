@@ -1,5 +1,8 @@
 """Config-4-shaped coverage: ImageNet-100-like, ResNet backbone, 64x64."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-loop integration tests; -m 'not slow' skips
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,6 +2,9 @@
 the same loss/gradients whether it runs on 1 device or sharded over 8
 (GSPMD inserts the psum; batch statistics are global either way)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-loop integration tests; -m 'not slow' skips
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -4,6 +4,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-loop integration tests; -m 'not slow' skips
+
 TINY_YAML = """
 preset: config1
 data: {{n_train: 96, n_query: 24, n_database: 160, n_classes: 4}}

@@ -1,5 +1,8 @@
 """Config-3-shaped coverage: NUS-WIDE-like multi-label, 64x64 GAN + encoder."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-loop integration tests; -m 'not slow' skips
 import jax
 import jax.numpy as jnp
 import numpy as np

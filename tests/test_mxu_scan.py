@@ -177,13 +177,45 @@ def test_mxu_topk_two_level_selection_path(seed, tie_p):
         np.testing.assert_array_equal(d[qi], d_full[qi][order])
 
 
-def test_select_winner_columns_matches_topk():
-    from hashgan_tpu.ops.mxu_scan import _select_winner_columns
+def test_twolevel_topk_min_matches_direct_topk():
+    """The two-level min selection must equal direct top_k on DISTINCT keys
+    (its contract), for widths on and off the fallback path."""
+    from hashgan_tpu.ops.mxu_scan import _twolevel_topk_min
 
     rng = np.random.default_rng(3)
-    # many duplicate keys to stress the (key, column) tie contract
-    min1 = jnp.asarray(rng.integers(0, 50, (6, 2048)).astype(np.float32))
-    keys, cols = _select_winner_columns(min1, 100)
-    negv, ref_cols = jax.lax.top_k(-min1, 100)  # positional ties = asc col
-    np.testing.assert_array_equal(np.asarray(cols), np.asarray(ref_cols))
-    np.testing.assert_array_equal(np.asarray(keys), np.asarray(-negv))
+    for m in (256, 2048, 12800):
+        perm = np.stack([rng.permutation(10 * m)[:m] for _ in range(6)])
+        keys = jnp.asarray(perm.astype(np.int32))
+        vals, pos = _twolevel_topk_min(keys, 100)
+        negv, ref_pos = jax.lax.top_k(-keys, 100)
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(-negv))
+        np.testing.assert_array_equal(np.asarray(pos), np.asarray(ref_pos))
+
+
+def test_full_column_keys_reconstruction():
+    """Full composite column keys must equal the true min item key per
+    column: d*stride + global index, with padding columns -> INT32_MAX."""
+    from hashgan_tpu.ops.groupmin import INT32_MAX
+    from hashgan_tpu.ops.mxu_scan import (
+        PAD_PENALTY, _full_column_keys, build_key_base,
+    )
+
+    L, c, bits = 8, 16, 32
+    rng = np.random.default_rng(5)
+    valid_n = 100  # indices 100..127 are padding
+    d = rng.integers(0, bits + 1, (L, c)).astype(np.float32)
+    # emulate the kernel: key = base + d*L where base folds s + pad penalty
+    base = np.asarray(build_key_base(L, c, bits, valid_n))
+    # kernel key = base - dot*L/2 = (bits*L/2 + s [+pen]) - (bits/2 - d)*L
+    keys = base + (d - bits / 2.0) * L
+    min1 = jnp.asarray(keys.min(axis=0)[None, :])
+    stride = L * c + 1
+    full = np.asarray(_full_column_keys(min1, L, c, stride))[0]
+    idx = np.arange(L)[:, None] * c + np.arange(c)[None, :]
+    item_keys = np.where(idx < valid_n,
+                         d.astype(np.int64) * stride + idx, INT32_MAX)
+    expect = item_keys.min(axis=0)
+    # a column whose min1 carries the pad penalty is all-padding
+    pad_col = keys.min(axis=0) >= PAD_PENALTY
+    expect = np.where(pad_col, INT32_MAX, expect)
+    np.testing.assert_array_equal(full, expect.astype(np.int32))

@@ -1,3 +1,6 @@
+import pytest
+
+pytestmark = pytest.mark.slow  # full-loop integration tests; -m 'not slow' skips
 import numpy as np
 
 from hashgan_tpu.configs import Config, DataConfig, EncoderConfig, TrainConfig

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-loop integration tests; -m 'not slow' skips
+
 from hashgan_tpu.configs import (
     Config, DataConfig, EncoderConfig, GanConfig, TrainConfig,
 )

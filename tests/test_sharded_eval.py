@@ -5,6 +5,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-loop integration tests; -m 'not slow' skips
+
 from hashgan_tpu.eval import (
     device_distance_histograms,
     device_map_at_r,
