@@ -126,3 +126,29 @@ def test_gallery_topk_large_k_routes_to_sort_engine():
     for qi in range(3):
         order = np.argsort(d_full[qi], kind="stable")[:k]
         np.testing.assert_array_equal(np.asarray(i)[qi], order)
+
+
+def test_gallery_topk_large_k_sharded_stays_exact():
+    """k > 256 on a mesh gallery routes to the sharded sort merge; ranking
+    must stay bit-identical to the oracle across mesh sizes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hashgan_tpu.index import build_gallery
+    from hashgan_tpu.ops import hamming_distance_np, pack_codes_np
+    from hashgan_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(11)
+    n, bits, k = 3000, 32, 320
+    codes = rng.standard_normal((n, bits)).astype(np.float32)
+    labels = np.eye(2, dtype=np.float32)[np.zeros(n, int)]
+    pq_np = pack_codes_np(rng.standard_normal((4, bits)).astype(np.float32))
+    d_full = hamming_distance_np(pq_np, pack_codes_np(codes))
+    for n_dev in (2, 8):
+        mesh = make_mesh(n_dev)
+        gal = build_gallery(jnp.asarray(codes), labels, bits, mesh=mesh,
+                            use_pallas=False)
+        d, i = gal.topk(jnp.asarray(pq_np), k=k, use_pallas=False)
+        for qi in range(4):
+            order = np.argsort(d_full[qi], kind="stable")[:k]
+            np.testing.assert_array_equal(np.asarray(i)[qi], order)
