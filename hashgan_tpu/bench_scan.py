@@ -93,7 +93,7 @@ def run_scaling(
     for mode in ("exact", "approx"):
         dt = _time_amortized(
             lambda pq: mxu_topk(
-                pq, gallery_g, canon_bg, valid_n=n, k=k, mode=mode
+                pq, gallery_g, canon_bg, valid_n=n, k=k, mode=mode,
             )[0].sum().astype(jnp.float32),
             qs, iters=iters,
         )
@@ -134,6 +134,10 @@ def run_bench(
     canon = np.concatenate([pg, np.zeros((n_tot - n, w), np.uint32)])
     packed_canonical = jax.device_put(jnp.asarray(canon))
 
+    # NOTE: the int8 precomputed-gallery scan (mxu_topk(gallery_pm8=...))
+    # measured SLOWER on v5e than the in-kernel-unpack engine (15.8 vs
+    # 6.5 ms at this shape — docs/BENCHMARKS.md), so it is not benchmarked
+    # here; the unpack engine is the headline.
     def scan_mxu(pq=packed_q, mode="exact"):
         return mxu_topk(pq, gallery_g, canon_bg, valid_n=n, k=k, mode=mode)
 

@@ -22,6 +22,9 @@ from hashgan_tpu.ops.hamming import hamming_scan_topk
 from hashgan_tpu.ops.pack import pack_codes
 from hashgan_tpu.parallel.sharded_scan import sharded_hamming_topk
 
+# HBM budget for the optional ±1 int8 scan copy of a single-chip gallery.
+PM8_BUDGET_BYTES = 512 * 1024 * 1024
+
 
 @dataclasses.dataclass
 class PackedGallery:
@@ -41,6 +44,7 @@ class PackedGallery:
     gallery_grouped: Optional[jnp.ndarray] = None   # (W, L, C) grouped layout
     packed_canonical: Optional[jnp.ndarray] = None  # (L*C, W) device canonical
     canon_bg: Optional[jnp.ndarray] = None          # (C, L*W) group-major rows
+    gallery_pm8: Optional[jnp.ndarray] = None       # (B, NB, L, cb) ±1 int8
 
     @property
     def words(self) -> int:
@@ -69,7 +73,7 @@ class PackedGallery:
             use_pallas = _jax.default_backend() not in ("cpu",)
         if self.mesh is not None and self.mesh.size > 1:
             if use_pallas and self.gallery_grouped is not None:
-                grouped, canon, valids, canon_bg = self.gallery_grouped
+                grouped, canon, valids, canon_bg, pm8 = self.gallery_grouped
                 if repair is None and k <= 256:
                     # Flagship multi-chip engine: per-shard MXU scan +
                     # winner rescan, position-key ICI merge. Exact, no
@@ -82,7 +86,7 @@ class PackedGallery:
 
                     return sharded_mxu_topk(
                         self.mesh, packed_q, grouped, canon_bg, valids,
-                        n=self.n, k=k, mode=mode,
+                        n=self.n, k=k, mode=mode, gallery_pm8=pm8,
                     )
                 if repair is None:
                     return sharded_hamming_topk(
@@ -131,6 +135,7 @@ class PackedGallery:
             return mxu_topk(
                 packed_q, self.gallery_grouped, self.canon_bg,
                 valid_n=self.n, k=k, mode=mode,
+                gallery_pm8=self.gallery_pm8,
             )
         if (use_pallas and self.gallery_grouped is not None
                 and repair is not None):
@@ -218,6 +223,7 @@ def build_gallery_from_packed(
     labels: np.ndarray,
     bits: int,
     mesh: Optional[Mesh] = None,
+    build_pm8: bool = False,
 ) -> PackedGallery:
     """(N, W) canonical packed codes -> device-resident scan-layout gallery.
 
@@ -238,7 +244,7 @@ def build_gallery_from_packed(
         )
     from hashgan_tpu.ops.groupmin import groupmin_capacity_ok
 
-    gallery_grouped = packed_canonical = canon_bg = None
+    gallery_grouped = packed_canonical = canon_bg = gallery_pm8 = None
     if mesh is None or mesh.size == 1:
         if groupmin_capacity_ok(n, w):
             from hashgan_tpu.ops.groupmin import to_grouped_layout
@@ -253,6 +259,14 @@ def build_gallery_from_packed(
             packed_canonical = jnp.asarray(canon)
             bg = to_group_major(packed[:n], groups=128, col_multiple=256)
             canon_bg = jnp.asarray(bg.reshape(bg.shape[0], -1))
+            # Optional int8 scan copy (1 byte/code-bit, device-built).
+            # MEASURED SLOWER than the in-kernel-unpack engine on v5e
+            # (docs/BENCHMARKS.md) — opt-in for hardware with a native-rate
+            # int8 MXU, bounded so huge galleries don't eat HBM.
+            if build_pm8 and 32 * w * n_tot <= PM8_BUDGET_BYTES:
+                from hashgan_tpu.ops.mxu_scan import grouped_to_pm8
+
+                gallery_pm8 = grouped_to_pm8(gallery_grouped)
         # else: beyond the grouped engine's int32 key space — topk falls
         # through to the ceiling-free sort engine (exact, just slower).
     else:
@@ -264,12 +278,20 @@ def build_gallery_from_packed(
                 shard_grouped_gallery(mesh, packed[:n], groups=128,
                                       col_multiple=256)
             )
+            pm8_dev = None
+            n_loc_tot = grouped_dev.shape[2] * grouped_dev.shape[3]
+            if build_pm8 and 32 * w * n_loc_tot <= PM8_BUDGET_BYTES:
+                from hashgan_tpu.parallel.sharded_scan import shard_pm8_gallery
+
+                pm8_dev = shard_pm8_gallery(mesh, grouped_dev)
             # mesh galleries store the sharded engine inputs as a tuple
-            gallery_grouped = (grouped_dev, canon_dev, valids_dev, bg_dev)
+            gallery_grouped = (grouped_dev, canon_dev, valids_dev, bg_dev,
+                               pm8_dev)
     return PackedGallery(
         gallery_t=gallery_t, labels=np.asarray(labels), n=n, bits=bits,
         mesh=mesh, gallery_grouped=gallery_grouped,
         packed_canonical=packed_canonical, canon_bg=canon_bg,
+        gallery_pm8=gallery_pm8,
     )
 
 

@@ -89,6 +89,108 @@ def build_key_base(L: int, cols: int, bits: int, valid_n) -> jnp.ndarray:
     return jnp.where(idx < valid_n, base, base + PAD_PENALTY)
 
 
+def build_key_base_i32(L: int, cols: int, bits: int, valid_n) -> jnp.ndarray:
+    """int32 key base for the int8 scan: same values as build_key_base but
+    exact integers end-to-end (no f32 representability argument needed)."""
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (L, cols), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (L, cols), 1)
+    idx = s_ids * cols + c_ids
+    base = (bits * L) // 2 + s_ids
+    return jnp.where(idx < valid_n, base, base + jnp.int32(PAD_PENALTY))
+
+
+def unpack_to_pm8(packed: jnp.ndarray) -> jnp.ndarray:
+    """(Q, W) uint32 -> (Q, 32W) ±1 int8 (same bit order as unpack_to_pm1)."""
+    q, w = packed.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = ((packed[:, :, None] >> shifts) & jnp.uint32(1)).astype(jnp.int8)
+    return (bits * 2 - 1).reshape(q, w * 32)
+
+
+@functools.partial(jax.jit, static_argnames=("col_block", "dtype"))
+def grouped_to_pm8(gallery_g: jnp.ndarray, col_block: int = 128,
+                   dtype=jnp.int8):
+    """(W, L, C) uint32 grouped gallery -> (B, C//cb, L, cb) ±1 int8, laid
+    out so BlockSpec block j = (B, 1, L, cb) is exactly the operand the
+    int8 scan kernel feeds the MXU (rows = bit index w*32+i, matching
+    unpack_to_pm8's query order). Device-side: builds from the already-
+    resident packed gallery — no large host transfer (host->device is the
+    slow path on this platform). 8x the packed bytes (1 byte/code-bit at
+    int8): 1M x 128-bit = 134 MB of HBM."""
+    w, L, c = gallery_g.shape
+    nb = c // col_block
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None, None]
+    bits = ((gallery_g[:, None] >> shifts) & jnp.uint32(1)).astype(jnp.int8)
+    pm = bits * 2 - 1                                    # (W, 32, L, C)
+    if dtype != jnp.int8:
+        pm = pm.astype(dtype)
+    pm = pm.reshape(w * 32, L, nb, col_block)
+    return pm.transpose(0, 2, 1, 3)  # XLA materializes the transpose
+
+
+def _pm_groupmin_kernel(q_ref, g_ref, base_ref, min_ref, *, half_l,
+                        acc_dtype):
+    """q (Tq, B) ±1; g (B, 1, L, Cb) ±1 precomputed (no unpack phase, so
+    the MXU never waits on the VPU); base (L, Cb); min out (Tq, Cb).
+    Works for int8 operands with int32 accumulate (exact integers) and
+    bf16 operands with f32 accumulate (exact: products ±1, B <= 128)."""
+    b = g_ref.shape[0]
+    L = g_ref.shape[2]
+    cb = g_ref.shape[3]
+    g = g_ref[:, 0].reshape(b, L * cb)
+    dot = jnp.dot(q_ref[:], g, preferred_element_type=acc_dtype)
+    key = base_ref[:][None, :, :] - dot.reshape(
+        dot.shape[0], L, cb
+    ) * half_l
+    min_ref[:] = jnp.min(key, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("query_tile", "interpret")
+)
+def mxu8_groupmin_scan(
+    q_pm: jnp.ndarray,
+    gallery_pm: jnp.ndarray,
+    key_base: jnp.ndarray,
+    query_tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(Q, B) ±1 x (B, NB, L, cb) ±1 precomputed gallery -> (Q, NB*cb) min
+    keys. Operand dtype selects the pipeline: int8 -> int32 keys, bf16 ->
+    f32 keys (both exact). MEASURED on v5e (1M x 128-bit x 1024q): int8
+    15.8 ms vs 6.5 ms for the in-kernel-unpack engine — Mosaic does not
+    hit a native int8 MXU rate there and streaming 8x the bytes from HBM
+    loses to the overlapped unpack. OFF by default; kept (tested) for
+    hardware where int8 matmul runs at its native 2x rate."""
+    q, b = q_pm.shape
+    _, nb, L, cb = gallery_pm.shape
+    int_path = gallery_pm.dtype == jnp.int8
+    acc = jnp.int32 if int_path else jnp.float32
+    half_l = L // 2 if int_path else float(L) / 2.0
+    q_pad = pl.cdiv(q, query_tile) * query_tile
+    if q_pad != q:
+        q_pm = jnp.pad(q_pm, ((0, q_pad - q), (0, 0)))
+    kernel = functools.partial(_pm_groupmin_kernel, half_l=half_l,
+                               acc_dtype=acc)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((q_pad, nb * cb), acc),
+        grid=(nb, q_pad // query_tile),
+        in_specs=[
+            pl.BlockSpec((query_tile, b), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, L, cb), lambda j, i: (0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, cb), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((query_tile, cb), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q_pm, gallery_pm, key_base)
+    return out[:q]
+
+
 def _mxu_groupmin_kernel(q_ref, g_ref, base_ref, min_ref, gb_ref, *, half_l):
     """q (Tq, B) bf16 ±1; g (W, L, Cb) uint32; base (L, Cb) f32;
     min out (Tq, Cb) f32; gb scratch (B, L*Cb) bf16 ±1.
@@ -249,6 +351,7 @@ def mxu_topk(
     interpret: bool = False,
     mode: str = "exact",
     recall_target: float = 0.95,
+    gallery_pm8: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k via MXU scan (+ winner-column rescan when exact).
 
@@ -261,6 +364,12 @@ def mxu_topk(
     rescan and the exact sorts entirely. Recall = ApproxTopK recall x the
     group-collision term (an item hidden behind a same-group better item is
     missed; ~0.995 at k=100, C=8192 on uniform codes).
+
+    gallery_pm8: optional (B, C//cb, L, cb) ±1 int8/bf16 copy of the
+    gallery (grouped_to_pm8). When given, the scan skips the in-kernel
+    unpack and feeds the MXU directly — identical results; see
+    mxu8_groupmin_scan for when that wins (NOT on v5e, where it measured
+    slower).
     """
     q, w = packed_q.shape
     _, L, c = gallery_g.shape
@@ -272,18 +381,32 @@ def mxu_topk(
     # engine.
     assert (bits + 1) * stride + n_total < 2**31, "rescan key overflow"
 
-    q_pm1 = unpack_to_pm1(packed_q)
-    key_base = build_key_base(L, c, bits, valid_n)
-    min1 = mxu_groupmin_scan(
-        q_pm1, gallery_g, key_base,
-        query_tile=query_tile, col_block=col_block, interpret=interpret,
-    )
+    if gallery_pm8 is not None:
+        if gallery_pm8.dtype == jnp.int8:
+            qv = unpack_to_pm8(packed_q)
+            kb = build_key_base_i32(L, c, bits, valid_n)
+        else:
+            qv = unpack_to_pm1(packed_q).astype(gallery_pm8.dtype)
+            kb = build_key_base(L, c, bits, valid_n)
+        min1 = mxu8_groupmin_scan(
+            qv, gallery_pm8, kb,
+            query_tile=query_tile, interpret=interpret,
+        )
+    else:
+        q_pm1 = unpack_to_pm1(packed_q)
+        key_base = build_key_base(L, c, bits, valid_n)
+        min1 = mxu_groupmin_scan(
+            q_pm1, gallery_g, key_base,
+            query_tile=query_tile, col_block=col_block, interpret=interpret,
+        )
     kk = min(k, n_total)
     m = min(kk, c)  # winner columns per query (capped by column count)
 
     if mode == "approx":
+        # approx_min_k wants floats; (d, s) keys are < 2^23 so the f32
+        # round-trip is exact even coming from the int32 scan.
         vals, cols = jax.lax.approx_min_k(
-            min1, m, recall_target=recall_target
+            min1.astype(jnp.float32), m, recall_target=recall_target
         )
         key = vals.astype(jnp.int32)
         is_pad = key >= jnp.int32(PAD_PENALTY)

@@ -238,6 +238,7 @@ def sharded_mxu_topk(
     col_block: int = 128,
     interpret: bool = False,
     mode: str = "exact",
+    gallery_pm8: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """MXU matmul-distance top-k over a contiguously sharded gallery.
 
@@ -246,6 +247,9 @@ def sharded_mxu_topk(
     candidates per chip ride ICI (all_gather) into the position-key merge
     (exact for any gallery size, see sharded_hamming_topk). Returns
     (dists, global indices), replicated; index >= n marks padding.
+
+    gallery_pm8: optional (nd, B, NB, L, cb) ±1 int8 shard stack
+    (shard_pm8_gallery) — per-shard scans take the int8 MXU path.
     """
     from hashgan_tpu.ops.mxu_scan import mxu_topk
 
@@ -255,11 +259,12 @@ def sharded_mxu_topk(
     max_d = 32 * w
     kk = min(k, n_loc)
 
-    def local(q, g, cbg, v):
+    def local(q, g, cbg, v, *pm8):
         g, cbg, v = g[0], cbg[0], v[0]
         d, i = mxu_topk(
             q, g, cbg, valid_n=v, k=kk, query_tile=query_tile,
             col_block=col_block, interpret=interpret, mode=mode,
+            gallery_pm8=pm8[0][0] if pm8 else None,
         )
         r = jax.lax.axis_index(axis)
         dg = jax.lax.all_gather(d, axis)              # (nd, Q, kk)
@@ -281,12 +286,39 @@ def sharded_mxu_topk(
         i_out = jnp.where(is_sentinel, n, i_out)
         return d_out, i_out
 
+    in_specs = [P(None, None), P(axis, None, None, None),
+                P(axis, None, None), P(axis)]
+    args = [packed_q, grouped, canon_bg, valids]
+    if gallery_pm8 is not None:
+        in_specs.append(P(axis, None, None, None, None))
+        args.append(gallery_pm8)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None), P(axis, None, None, None),
-                  P(axis, None, None), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
-    return fn(packed_q, grouped, canon_bg, valids)
+    return fn(*args)
+
+
+def shard_pm8_gallery(
+    mesh: Mesh,
+    grouped_dev: jnp.ndarray,
+    axis: str = "data",
+    col_block: int = 128,
+) -> jnp.ndarray:
+    """(nd, W, L, C_loc) sharded grouped gallery -> (nd, B, NB, L, cb) ±1
+    int8 shard stack for the sharded int8 scan, built device-side per shard
+    (no host round-trip)."""
+    import functools as _ft
+
+    from jax.sharding import NamedSharding
+
+    from hashgan_tpu.ops.mxu_scan import grouped_to_pm8
+
+    f = jax.vmap(_ft.partial(grouped_to_pm8, col_block=col_block))
+    return jax.jit(
+        f,
+        out_shardings=NamedSharding(mesh, P(axis, None, None, None, None)),
+    )(grouped_dev)

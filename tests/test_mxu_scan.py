@@ -219,3 +219,92 @@ def test_full_column_keys_reconstruction():
     pad_col = keys.min(axis=0) >= PAD_PENALTY
     expect = np.where(pad_col, INT32_MAX, expect)
     np.testing.assert_array_equal(full, expect.astype(np.int32))
+
+
+def test_grouped_to_pm8_matches_unpack():
+    from hashgan_tpu.ops.mxu_scan import grouped_to_pm8
+
+    rng = np.random.default_rng(7)
+    packed = rng.integers(0, 2**32, (100, 2), dtype=np.uint32)
+    gg = to_grouped_layout(packed, groups=8, col_multiple=16)  # (W, L, C)
+    pm8 = np.asarray(grouped_to_pm8(jnp.asarray(gg), col_block=16))
+    w, L, c = gg.shape
+    # reference unpack: bit b of item at [s, col] = ((gg[b//32,s,col] >> (b%32)) & 1)
+    bits = np.zeros((32 * w, L, c), np.int8)
+    for b in range(32 * w):
+        bits[b] = ((gg[b // 32] >> (b % 32)) & 1).astype(np.int8)
+    ref = (bits * 2 - 1).reshape(32 * w, L, c // 16, 16).transpose(0, 2, 1, 3)
+    np.testing.assert_array_equal(pm8, ref)
+
+
+@pytest.mark.parametrize("bits,n,q,k", [(32, 700, 9, 20), (64, 1200, 5, 64)])
+def test_mxu8_topk_matches_oracle(bits, n, q, k):
+    """int8 precomputed-gallery scan: same oracle-bit-identical contract."""
+    from hashgan_tpu.ops.mxu_scan import grouped_to_pm8
+
+    rng = np.random.default_rng(bits * 3 + n)
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    queries = np.where(rng.uniform(size=(q, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    packed, gg, bgf = _build(codes)
+    pm8 = grouped_to_pm8(gg, col_block=16)
+    pq = jnp.asarray(pack_codes_np(queries))
+    d, i = mxu_topk(pq, gg, bgf, valid_n=n, k=k,
+                    query_tile=16, interpret=True, gallery_pm8=pm8)
+    d, i = np.asarray(d), np.asarray(i)
+    d_full = hamming_distance_np(pack_codes_np(queries), packed)
+    for qi in range(q):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(i[qi], order)
+        np.testing.assert_array_equal(d[qi], d_full[qi][order])
+
+
+def test_mxu8_topk_ties_and_approx():
+    from hashgan_tpu.ops.mxu_scan import grouped_to_pm8
+
+    rng = np.random.default_rng(9)
+    n, bits, k = 600, 32, 50
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.05, -1.0, 1.0).astype(np.float32)
+    packed, gg, bgf = _build(codes)
+    pm8 = grouped_to_pm8(gg, col_block=16)
+    pq = jnp.asarray(pack_codes_np(
+        np.where(rng.uniform(size=(4, bits)) < 0.5, -1.0, 1.0).astype(np.float32)))
+    d, i = mxu_topk(pq, gg, bgf, valid_n=n, k=k, query_tile=16,
+                    interpret=True, gallery_pm8=pm8)
+    d_full = hamming_distance_np(np.asarray(pq), packed)
+    for qi in range(4):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(i)[qi], order)
+    # approx mode runs off the int32 scan too (f32 cast is exact)
+    da, ia = mxu_topk(pq, gg, bgf, valid_n=n, k=k, query_tile=16,
+                      interpret=True, mode="approx", gallery_pm8=pm8)
+    assert da.shape == (4, k) and ia.shape == (4, k)
+
+
+@_pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_mxu_int8_matches_single_chip(n_dev):
+    from hashgan_tpu.parallel import make_mesh
+    from hashgan_tpu.parallel.sharded_scan import (
+        shard_grouped_gallery, shard_pm8_gallery, sharded_mxu_topk,
+    )
+
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(n_dev + 77)
+    n, bits, k = 700, 32, 60
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.3, -1.0, 1.0).astype(np.float32)
+    packed = pack_codes_np(codes)
+    pq = jnp.asarray(pack_codes_np(
+        np.where(rng.uniform(size=(5, bits)) < 0.5, -1.0, 1.0).astype(np.float32)))
+    grouped, canon, valids, canon_bg, _ = shard_grouped_gallery(
+        mesh, packed, groups=8, col_multiple=16
+    )
+    pm8 = shard_pm8_gallery(mesh, grouped, col_block=16)
+    d, i = sharded_mxu_topk(
+        mesh, pq, grouped, canon_bg, valids, n=n, k=k,
+        query_tile=8, interpret=True, gallery_pm8=pm8,
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    d_full = hamming_distance_np(np.asarray(pq), packed)
+    for qi in range(5):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(i[qi], order)
+        np.testing.assert_array_equal(d[qi], d_full[qi][order])
