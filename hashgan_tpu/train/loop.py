@@ -251,7 +251,41 @@ class Experiment:
                         self.encoder, self.cfg, generator=None
                     )
                 return False, self._enc_step_nogan
+        w = self._last_logged("wasserstein")
+        if w is not None and abs(w) > 10.0:
+            # Measured twice (docs/BENCHMARKS.md scarce multi-label rows):
+            # an unconverged stage-I (healthy runs settle |W| ~ 2-3) makes
+            # fake-mixing strictly worse than encoder-only training.
+            warnings.warn(
+                f"stage-I looks unconverged (last Wasserstein {w:.1f}; "
+                "healthy runs settle around 2-3): co-training on its "
+                "samples measurably hurts MAP. Consider more stage-1 "
+                "iters, or lowering train.fake_ratio / setting "
+                "train.use_gan_samples=false.",
+                stacklevel=2,
+            )
         return True, self._enc_step
+
+    def _last_logged(self, key: str):
+        """Last value of ``key`` in this workdir's metrics.jsonl (None if
+        absent) — lets stage II sanity-check stage-I health without
+        widening the checkpointed state."""
+        import json as _json
+
+        path = os.path.join(self.workdir, "metrics.jsonl")
+        try:
+            val = None
+            with open(path) as f:
+                for line in f:
+                    try:
+                        rec = _json.loads(line)
+                    except ValueError:
+                        continue
+                    if key in rec:
+                        val = rec[key]
+            return val
+        except OSError:
+            return None
 
     def train_encoder(
         self, iters: Optional[int] = None, eval_during: bool = True

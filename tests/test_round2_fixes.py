@@ -93,6 +93,34 @@ def test_stage2_guard_keeps_fakes_after_gan_training(tmp_path):
     assert use_gan and step_fn is exp._enc_step
 
 
+def test_stage2_guard_warns_on_unconverged_gan(tmp_path):
+    """A stage-I whose last logged Wasserstein is large (unconverged)
+    triggers the GAN-health warning; fakes stay enabled (explicit config
+    wins) but the user is told why MAP may suffer."""
+    import json
+
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = tiny_config(use_gan=True)
+    exp = Experiment(cfg, workdir=str(tmp_path), use_mesh=False)
+    exp.train_gan(iters=1)
+    with open(f"{tmp_path}/metrics.jsonl", "a") as f:
+        f.write(json.dumps({"step": 1, "wasserstein": 87.3}) + "\n")
+    with pytest.warns(UserWarning, match="unconverged"):
+        use_gan, _ = exp._stage2_guard()
+    assert use_gan  # warning, not override
+
+    # healthy W: no warning
+    with open(f"{tmp_path}/metrics.jsonl", "a") as f:
+        f.write(json.dumps({"step": 2, "wasserstein": 2.4}) + "\n")
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")
+        use_gan, _ = exp._stage2_guard()
+    assert use_gan
+
+
 # ----------------------------------------------------------------------------
 # ADVICE r1: groupmin approx/padding decode must yield true sentinels
 # ----------------------------------------------------------------------------
