@@ -11,6 +11,12 @@ Weight loading maps the classic npy layout {layer: [W, b]} (conv W already
 in HWIO); fc layers load only when flatten dims match (i.e. 227x227 inputs),
 otherwise they stay randomly initialized — matching the reference's behavior
 of always re-initializing the new hash layer.
+
+From-scratch note (driven on the real chip, docs/BENCHMARKS.md): with a
+RANDOM backbone the reference's 10x hash-lr multiplier saturates tanh
+unrecoverably within ~100 steps; set ``encoder.hash_lr_multiplier: 1`` for
+from-scratch runs. The 10x setting is for the bvlc-pretrained protocol —
+the only mode the reference ships.
 """
 
 from __future__ import annotations
@@ -80,6 +86,16 @@ class AlexNetEncoder(nn.Module):
         h = nn.Dense(4096, dtype=self.dtype, name="fc7")(h)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        # Same stabilizer the ResNet backbone needed (models/encoders.py):
+        # from RANDOM init the conv stack's activation scale drives the
+        # 4096-d hash-head pre-activation deep into tanh saturation (driven
+        # on-chip: bit_balance_sq pinned at 1.0, zero grad, frozen loss).
+        # The reference never hits this because it always starts from bvlc
+        # ImageNet weights; with pretrained weights the norm is benign (a
+        # fixed feature renormalization ahead of a learned head).
+        h = nn.LayerNorm(dtype=jnp.float32, name="embed_norm")(
+            h.astype(jnp.float32)
+        )
         return HashHead(self.bits, name="hash")(h)
 
 
