@@ -31,10 +31,12 @@ class PackedGallery:
     """gallery_t: (W, N_pad) uint32 scan-layout codes (device array);
     labels: (N, K) host float32; n: true item count; bits: logical width.
 
-    On TPU, single-mesh queries use the group-min engine (ops/groupmin.py):
-    in-kernel selection at ~12e9 cmp/s, EXACT (stable-argsort semantics)
-    with an automatic sort-based fallback for queries whose repair capacity
-    is exceeded (provably impossible when repair >= k)."""
+    On TPU the default engine is the MXU matmul-distance scan
+    (ops/mxu_scan.py): EXACT (stable-argsort semantics), no fallback path,
+    data-independent latency; k > 256 routes to the streaming sort engine
+    and an explicit ``repair`` selects the legacy group-min engine
+    (ops/groupmin.py). Mesh galleries run the sharded variants with an
+    ICI position-key merge."""
 
     gallery_t: jnp.ndarray
     labels: np.ndarray
