@@ -308,3 +308,41 @@ def test_sharded_mxu_int8_matches_single_chip(n_dev):
         order = np.argsort(d_full[qi], kind="stable")[:k]
         np.testing.assert_array_equal(i[qi], order)
         np.testing.assert_array_equal(d[qi], d_full[qi][order])
+
+
+@_pytest.mark.parametrize("m,kk", [(96, 100), (256, 256), (1600, 7),
+                                   (4096, 100), (520, 33)])
+def test_twolevel_topk_min_property(m, kk):
+    """Widths on/off the g-divisibility and fallback boundaries, kk near,
+    equal to, and above the subgroup count — always equals direct top_k on
+    distinct keys."""
+    from hashgan_tpu.ops.mxu_scan import _twolevel_topk_min
+
+    rng = np.random.default_rng(m * 7 + kk)
+    kk_eff = min(kk, m)
+    keys = jnp.asarray(np.stack(
+        [rng.permutation(3 * m)[:m] for _ in range(4)]).astype(np.int32))
+    vals, pos = _twolevel_topk_min(keys, kk_eff)
+    negv, ref_pos = jax.lax.top_k(-keys, kk_eff)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(-negv))
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(ref_pos))
+
+
+def test_twolevel_topk_min_with_sentinel_dups():
+    """INT32_MAX padding duplicates may tie arbitrarily among themselves,
+    but every finite key in the true top-k must be selected, in order."""
+    from hashgan_tpu.ops.groupmin import INT32_MAX
+    from hashgan_tpu.ops.mxu_scan import _twolevel_topk_min
+
+    rng = np.random.default_rng(3)
+    m, kk, n_valid = 1024, 64, 40  # fewer valid than kk
+    keys = np.full((2, m), INT32_MAX, np.int32)
+    for r in range(2):
+        pos = rng.choice(m, n_valid, replace=False)
+        keys[r, pos] = rng.permutation(10_000)[:n_valid]
+    vals, _ = _twolevel_topk_min(jnp.asarray(keys), kk)
+    vals = np.asarray(vals)
+    for r in range(2):
+        finite = np.sort(keys[r][keys[r] != INT32_MAX])
+        np.testing.assert_array_equal(vals[r][:n_valid], finite)
+        assert (vals[r][n_valid:] == INT32_MAX).all()
