@@ -188,7 +188,8 @@ class PackedGallery:
             [self.labels[: self.n], np.asarray(labels)], axis=0
         )
         return build_gallery_from_packed(packed, labels_all, self.bits,
-                                         mesh=self.mesh)
+                                         mesh=self.mesh,
+                                         build_pm8=self._has_pm8())
 
     def remove(self, ids) -> Tuple["PackedGallery", np.ndarray]:
         """Delete items; returns (new gallery, id_map) where
@@ -203,9 +204,18 @@ class PackedGallery:
         labels = self.labels[: self.n][keep]
         return (
             build_gallery_from_packed(packed, labels, self.bits,
-                                      mesh=self.mesh),
+                                      mesh=self.mesh,
+                                      build_pm8=self._has_pm8()),
             keep,
         )
+
+    def _has_pm8(self) -> bool:
+        """True if this gallery carries the opt-in ±1 scan copy (rebuilds
+        via extend/remove preserve it)."""
+        if self.gallery_pm8 is not None:
+            return True
+        return (isinstance(self.gallery_grouped, tuple)
+                and self.gallery_grouped[4] is not None)
 
     def save(self, path: str) -> None:
         from hashgan_tpu.utils.checkpoint import save_gallery
@@ -303,7 +313,9 @@ def build_gallery(
     bits: int,
     mesh: Optional[Mesh] = None,
     use_pallas: bool | None = None,
+    build_pm8: bool = False,
 ) -> PackedGallery:
     """Continuous codes (N, bits) -> packed gallery (sign + bitpack on device)."""
     packed = np.asarray(pack_codes(codes, use_pallas=use_pallas))
-    return build_gallery_from_packed(packed, labels, bits, mesh=mesh)
+    return build_gallery_from_packed(packed, labels, bits, mesh=mesh,
+                                     build_pm8=build_pm8)

@@ -161,7 +161,10 @@ def mxu8_groupmin_scan(
     15.8 ms vs 6.5 ms for the in-kernel-unpack engine — Mosaic does not
     hit a native int8 MXU rate there and streaming 8x the bytes from HBM
     loses to the overlapped unpack. OFF by default; kept (tested) for
-    hardware where int8 matmul runs at its native 2x rate."""
+    hardware where int8 matmul runs at its native 2x rate. Platform note:
+    the axon remote compiler handled the 128-bit shapes but HUNG compiling
+    a 64-bit (W=2) int8 instance — if an opt-in build stalls, check the
+    word count before suspecting this code."""
     q, b = q_pm.shape
     _, nb, L, cb = gallery_pm.shape
     int_path = gallery_pm.dtype == jnp.int8
