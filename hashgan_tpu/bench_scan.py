@@ -112,6 +112,7 @@ def run_bench(
     use_pallas: bool | None = None,
     amortize_batches: int = 6,
     scaling: bool = True,
+    headline_cb=None,
 ) -> Dict:
     from hashgan_tpu.ops.groupmin import groupmin_topk, to_grouped_layout
     from hashgan_tpu.ops.hamming import hamming_scan_topk
@@ -156,6 +157,16 @@ def run_bench(
     dt_mxu_dev = _time_amortized(
         lambda pq: scan_mxu(pq)[0].sum().astype(jnp.float32), qs, iters=iters
     )
+    if headline_cb is not None:
+        # Surface the graded number immediately; everything below is
+        # comparison detail that a slow compile session should not gate.
+        hl = q * n / dt_mxu_dev
+        headline_cb({
+            "metric": "packed_hamming_cmp_per_sec",
+            "value": float(hl),
+            "unit": "cmp/s",
+            "vs_baseline": float(hl / 1e9),
+        })
     dt_mxu_approx_dev = _time_amortized(
         lambda pq: scan_mxu(pq, "approx")[0].sum().astype(jnp.float32),
         qs, iters=iters,
