@@ -29,6 +29,9 @@ class DataConfig:
     train_list: Optional[str] = None
     test_list: Optional[str] = None       # query split
     database_list: Optional[str] = None   # gallery split
+    # Extracted standard CIFAR-10 archive (python or binary batches):
+    # zero-code real-data drop-in for configs 1/2 (data/cifar10.py).
+    cifar10_dir: Optional[str] = None
     # Synthetic fallback sizes (used when list files are absent).
     synthetic: bool = True
     n_train: int = 5000

@@ -53,28 +53,35 @@ class BatchIterator:
         self.epoch_shuffle = epoch_shuffle
         self.pair_balanced = pair_balanced
         self._perm_cache: Tuple[int, np.ndarray] | None = None
-        self._class_index: list | None = None
+        self._class_index: tuple | None = None  # (concat, offsets, sizes)
 
     def _partners(self, rng: np.random.Generator, idx: np.ndarray) -> np.ndarray:
         """For each item, a (step-pure) partner sharing >= 1 active label;
-        items whose classes are singletons partner with themselves."""
-        if self._class_index is None:
-            labels = self.dataset.labels
-            self._class_index = [
-                np.flatnonzero(labels[:, c] > 0.5)
-                for c in range(labels.shape[1])
-            ]
+        items with no active labels partner with themselves.
+
+        Vectorized (O(B) numpy ops, two batched rng draws): this sits on the
+        training critical path in pair_balanced mode — prefetch_to_device is
+        a generator, not a thread, so per-item host loops here would stall
+        the device between steps."""
         labels = self.dataset.labels
-        partners = np.empty_like(idx)
-        for j, i in enumerate(idx):
-            active = np.flatnonzero(labels[i] > 0.5)
-            if active.size == 0:
-                partners[j] = i
-                continue
-            c = active[rng.integers(0, active.size)]
-            pool = self._class_index[c]
-            partners[j] = pool[rng.integers(0, pool.size)]
-        return partners
+        if self._class_index is None:
+            # Ragged class pools, flattened: pool for class c is
+            # concat[offsets[c]:offsets[c+1]] (row-major over classes).
+            act = labels > 0.5
+            rows, cols = np.nonzero(act.T)  # rows=class ids, cols=item ids
+            sizes = act.sum(axis=0).astype(np.int64)
+            offsets = np.concatenate([[0], np.cumsum(sizes)])
+            self._class_index = (cols, offsets, sizes)
+        concat, offsets, sizes = self._class_index
+        a = labels[idx] > 0.5                     # (B, K)
+        n_active = a.sum(axis=1)
+        # u-th active class per row via cumsum inversion (rows with no
+        # active label get a dummy class and are overridden below).
+        u = rng.integers(0, np.maximum(n_active, 1))
+        c = np.argmax(np.cumsum(a, axis=1) > u[:, None], axis=1)
+        pick = rng.integers(0, np.maximum(sizes[c], 1))
+        partners = concat[offsets[c] + pick]
+        return np.where(n_active > 0, partners, idx)
 
     def _epoch_perm(self, epoch: int) -> np.ndarray:
         if self._perm_cache is not None and self._perm_cache[0] == epoch:

@@ -120,6 +120,10 @@ def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
     """
     import os
 
+    if cfg.cifar10_dir:
+        from hashgan_tpu.data.cifar10 import make_cifar10_splits
+
+        return make_cifar10_splits(cfg.cifar10_dir, cfg)
     lists = {
         ("train", "train_list"): cfg.train_list,
         ("query", "test_list"): cfg.test_list,

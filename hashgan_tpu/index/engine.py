@@ -67,8 +67,14 @@ class QueryEngine:
         d, i = np.asarray(d), np.asarray(i)
         labels = None
         if with_labels:
-            safe = np.clip(i, 0, self.gallery.labels.shape[0] - 1)
-            labels = self.gallery.labels[safe]
+            # Padding sentinels (index >= n, the documented contract) must
+            # not surface a real item's labels: zero their rows instead of
+            # clipping into the gallery.
+            valid = i < self.gallery.n
+            safe = np.where(valid, i, 0)
+            labels = np.where(
+                valid[:, :, None], self.gallery.labels[safe], 0.0
+            ).astype(self.gallery.labels.dtype)
         return QueryResult(distances=d, indices=i, labels=labels)
 
     def query_images(

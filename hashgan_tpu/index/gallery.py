@@ -31,12 +31,13 @@ class PackedGallery:
     """gallery_t: (W, N_pad) uint32 scan-layout codes (device array);
     labels: (N, K) host float32; n: true item count; bits: logical width.
 
-    On TPU the default engine is the MXU matmul-distance scan
-    (ops/mxu_scan.py): EXACT (stable-argsort semantics), no fallback path,
-    data-independent latency; k > 256 routes to the streaming sort engine
-    and an explicit ``repair`` selects the legacy group-min engine
-    (ops/groupmin.py). Mesh galleries run the sharded variants with an
-    ICI position-key merge."""
+    On TPU the default engine is the MXU matmul-distance scan — EXACT
+    (stable-argsort semantics), no fallback path, data-independent latency:
+    winner-column rescan for k <= 256 (ops/mxu_scan.py), subgroup-min +
+    counting select for larger k up to the MAP@5000 protocol shape
+    (ops/mxu_large_k.py). An explicit ``repair`` selects the legacy
+    group-min engine (ops/groupmin.py). Mesh galleries run the sharded
+    variants with an ICI position-key merge."""
 
     gallery_t: jnp.ndarray
     labels: np.ndarray
@@ -79,9 +80,7 @@ class PackedGallery:
                 if repair is None and k <= 256:
                     # Flagship multi-chip engine: per-shard MXU scan +
                     # winner rescan, position-key ICI merge. Exact, no
-                    # fallback, data-independent latency. (k > 256 falls
-                    # through to the sharded sort merge — see the
-                    # single-chip branch.)
+                    # fallback, data-independent latency.
                     from hashgan_tpu.parallel.sharded_scan import (
                         sharded_mxu_topk,
                     )
@@ -91,9 +90,15 @@ class PackedGallery:
                         n=self.n, k=k, mode=mode, gallery_pm8=pm8,
                     )
                 if repair is None:
-                    return sharded_hamming_topk(
-                        self.mesh, packed_q, self.gallery_t, k=k, slab=slab,
-                        use_pallas=use_pallas, valid_n=self.n,
+                    # Large-k multi-chip engine: per-shard subgroup-min MXU
+                    # scan (ops/mxu_large_k.py) + counting-select merge.
+                    from hashgan_tpu.parallel.sharded_scan import (
+                        sharded_mxu_topk_large,
+                    )
+
+                    return sharded_mxu_topk_large(
+                        self.mesh, packed_q, grouped, canon_bg, valids,
+                        n=self.n, k=k, mode=mode,
                     )
                 from hashgan_tpu.parallel.sharded_scan import (
                     sharded_groupmin_topk,
@@ -123,21 +128,29 @@ class PackedGallery:
                 use_pallas=use_pallas, valid_n=self.n,
             )
         if (use_pallas and self.canon_bg is not None
-                and self.gallery_grouped is not None and repair is None
-                and k <= 256):
-            # Flagship single-chip engine: MXU matmul distances + winner-
-            # column rescan — exact with data-independent latency (or
-            # ApproxTopK group-minima selection in approx mode). An explicit
-            # ``repair`` falls through to the legacy group-min/min2 engine;
-            # k > 256 falls through to the sort engine (the winner rescan
-            # gathers k*L items/query — past a few hundred k the streaming
-            # sort merge is the better-shaped computation).
-            from hashgan_tpu.ops.mxu_scan import mxu_topk
+                and self.gallery_grouped is not None and repair is None):
+            if k <= 256:
+                # Flagship single-chip engine: MXU matmul distances +
+                # winner-column rescan — exact with data-independent latency
+                # (or ApproxTopK group-minima selection in approx mode). An
+                # explicit ``repair`` falls through to the legacy
+                # group-min/min2 engine.
+                from hashgan_tpu.ops.mxu_scan import mxu_topk
 
-            return mxu_topk(
+                return mxu_topk(
+                    packed_q, self.gallery_grouped, self.canon_bg,
+                    valid_n=self.n, k=k, mode=mode,
+                    gallery_pm8=self.gallery_pm8,
+                )
+            # Large-k engine (k up to thousands — the reference protocol's
+            # MAP@5000 shape): same scan at subgroup granularity + winner-
+            # subgroup rescan + counting select (ops/mxu_large_k.py). Exact,
+            # no fallback path, data-independent latency.
+            from hashgan_tpu.ops.mxu_large_k import mxu_topk_large
+
+            return mxu_topk_large(
                 packed_q, self.gallery_grouped, self.canon_bg,
                 valid_n=self.n, k=k, mode=mode,
-                gallery_pm8=self.gallery_pm8,
             )
         if (use_pallas and self.gallery_grouped is not None
                 and repair is not None):

@@ -322,3 +322,81 @@ def shard_pm8_gallery(
         f,
         out_shardings=NamedSharding(mesh, P(axis, None, None, None, None)),
     )(grouped_dev)
+
+
+def sharded_mxu_topk_large(
+    mesh: Mesh,
+    packed_q: jnp.ndarray,
+    grouped: jnp.ndarray,
+    canon_bg: jnp.ndarray,
+    valids: jnp.ndarray,
+    n: int,
+    k: int = 1000,
+    axis: str = "data",
+    sigma: int = 16,
+    query_tile: int = 128,
+    col_block: int = 128,
+    interpret: bool = False,
+    mode: str = "exact",
+    select: str = "radix",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact large-k (k in the thousands) over a contiguously sharded
+    gallery: per-shard subgroup-min engine (ops/mxu_large_k.py), k
+    candidates per chip over ICI, position-key merge. The merge reuses the
+    distance*n_cand+position key (exact for any gallery size) but selects
+    with the counting machinery instead of lax.top_k — at k=5000 the merge
+    set is nd*k wide and a sort/top_k there would dominate. Sentinels get
+    distinct above-any-valid position keys so the count stays exact."""
+    from hashgan_tpu.ops.mxu_large_k import (
+        _compact_masked, count_select_threshold, mxu_topk_large,
+    )
+
+    nd = mesh.shape[axis]
+    n_loc = grouped.shape[2] * grouped.shape[3]
+    w = packed_q.shape[1]
+    max_d = 32 * w
+    kk = min(k, n_loc)
+    k_out = min(k, nd * kk)
+
+    def local(q, g, cbg, v):
+        g, cbg, v = g[0], cbg[0], v[0]
+        d, i = mxu_topk_large(
+            q, g, cbg, valid_n=v, k=kk, sigma=sigma, query_tile=query_tile,
+            col_block=col_block, interpret=interpret, mode=mode,
+            select=select,
+        )
+        r = jax.lax.axis_index(axis)
+        dg = jax.lax.all_gather(d, axis)              # (nd, Q, kk)
+        ig = jax.lax.all_gather(i + r * n_loc, axis)  # local -> global ids
+        q_n = q.shape[0]
+        cat_d = jnp.moveaxis(dg, 0, 1).reshape(q_n, -1)
+        cat_i = jnp.moveaxis(ig, 0, 1).reshape(q_n, -1)
+        n_cand = cat_d.shape[1]
+        position = jax.lax.broadcasted_iota(jnp.int32, (q_n, n_cand), 1)
+        # sentinel key stays DISTINCT (not a shared INT32_MAX): the counting
+        # select needs exactly-k mass at the threshold.
+        key = (jnp.minimum(cat_d, max_d + 1) * jnp.int32(n_cand) + position)
+        if mode == "exact" and select == "radix":
+            hi = (max_d + 2) * n_cand
+            tau = count_select_threshold(key, k_out, hi)
+            packed_keys = _compact_masked(key, key <= tau[:, None], k_out)
+            merged = jnp.sort(packed_keys, axis=1)
+            pos = merged % jnp.int32(n_cand)
+        else:
+            _, pos = jax.lax.top_k(-key, k_out)
+        d_out = jnp.take_along_axis(cat_d, pos, axis=1)
+        i_out = jnp.take_along_axis(cat_i, pos, axis=1)
+        is_sentinel = d_out > max_d
+        d_out = jnp.where(is_sentinel, max_d + 1, d_out)
+        i_out = jnp.where(is_sentinel, n, i_out)
+        return d_out, i_out
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None, None, None),
+                  P(axis, None, None), P(axis)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(packed_q, grouped, canon_bg, valids)

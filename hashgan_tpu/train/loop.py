@@ -365,8 +365,12 @@ class Experiment:
         to the workdir when cfg.eval.pr_curve.
 
         Under a multi-device mesh the gallery is sharded over the ``data``
-        axis and both paths run the sharded engines (eval/sharded.py) —
-        exact-path results are bit-equal to single-device."""
+        axis and both paths run the sharded engines (eval/sharded.py). The
+        ranking/metric stage is bit-equal to single-device GIVEN identical
+        codes; encoding itself shards for splits >= 50k (encode_split),
+        where partitioned matmuls change the f32 summation order — so
+        end-to-end metrics on large splits are rounding-equal, not
+        bit-equal."""
         import numpy as _np
 
         cfg = self.cfg
@@ -487,7 +491,24 @@ class Experiment:
         self.ckpt.save(step, jax.device_get(self._ckpt_state()))
 
     def restore_checkpoint(self) -> bool:
-        restored = self.ckpt.restore(jax.device_get(self._ckpt_state()))
+        template = jax.device_get(self._ckpt_state())
+        try:
+            restored = self.ckpt.restore(template)
+        except (KeyError, ValueError, TypeError):
+            # Migration: checkpoints written before GanState gained
+            # g_ema_stats lack that subtree and StandardRestore rejects the
+            # wider template. Retry without it, then seed the EMA stats from
+            # the restored live stats (the closest available estimate).
+            if "gan" not in template or template["gan"].g_ema_stats is None:
+                raise
+            template["gan"] = template["gan"].replace(g_ema_stats=None)
+            restored = self.ckpt.restore(template)
+            if restored is not None and restored["gan"].g_ema_stats is None:
+                restored["gan"] = restored["gan"].replace(
+                    g_ema_stats=jax.tree_util.tree_map(
+                        lambda x: x.copy(), restored["gan"].g_stats
+                    )
+                )
         if restored is None:
             return False
         self.encoder_state = restored["encoder"]

@@ -103,8 +103,9 @@ def test_gallery_extend_and_remove_stay_exact():
 
 
 def test_gallery_topk_large_k_routes_to_sort_engine():
-    """k > 256 must not hit the MXU winner-rescan (k*L gather) — it routes
-    to the streaming sort engine and stays exact."""
+    """k > 256 without Pallas stays exact on the streaming sort engine
+    (the TPU route is the subgroup-min engine — see test_mxu_large_k.py's
+    gallery routing tests)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -129,8 +130,9 @@ def test_gallery_topk_large_k_routes_to_sort_engine():
 
 
 def test_gallery_topk_large_k_sharded_stays_exact():
-    """k > 256 on a mesh gallery routes to the sharded sort merge; ranking
-    must stay bit-identical to the oracle across mesh sizes."""
+    """k > 256 on a mesh gallery without Pallas routes to the sharded sort
+    merge; ranking must stay bit-identical to the oracle across mesh
+    sizes (the TPU route is the sharded subgroup-min engine)."""
     import jax.numpy as jnp
     import numpy as np
 

