@@ -48,6 +48,10 @@ class PackedGallery:
     packed_canonical: Optional[jnp.ndarray] = None  # (L*C, W) device canonical
     canon_bg: Optional[jnp.ndarray] = None          # (C, L*W) group-major rows
     gallery_pm8: Optional[jnp.ndarray] = None       # (B, NB, L, cb) ±1 int8
+    # (gallery_gs, canon_bgs, valids, slab_items) — per-slab rebased-key
+    # layouts for single-chip galleries past the int32 composite ceiling
+    # (ops/slab_scan.py); None when the single grouped layout fits.
+    gallery_slabbed: Optional[tuple] = None
 
     @property
     def words(self) -> int:
@@ -151,6 +155,17 @@ class PackedGallery:
             return mxu_topk_large(
                 packed_q, self.gallery_grouped, self.canon_bg,
                 valid_n=self.n, k=k, mode=mode,
+            )
+        if (use_pallas and self.gallery_slabbed is not None
+                and repair is None):
+            # Past the int32 composite ceiling: per-slab rebased keys keep
+            # the MXU engines exact at any gallery size (ops/slab_scan.py).
+            from hashgan_tpu.ops.slab_scan import mxu_topk_slabbed
+
+            gs, bgs, valids, slab_items = self.gallery_slabbed
+            return mxu_topk_slabbed(
+                packed_q, gs, bgs, valids, n=self.n,
+                slab_items=slab_items, k=k, mode=mode,
             )
         if (use_pallas and self.gallery_grouped is not None
                 and repair is not None):
@@ -270,7 +285,15 @@ def build_gallery_from_packed(
     from hashgan_tpu.ops.groupmin import groupmin_capacity_ok
 
     gallery_grouped = packed_canonical = canon_bg = gallery_pm8 = None
+    gallery_slabbed = None
     if mesh is None or mesh.size == 1:
+        if not groupmin_capacity_ok(n, w):
+            # Beyond the single-layout int32 key space: per-slab rebased
+            # keys keep the MXU engines exact (ops/slab_scan.py) instead of
+            # degrading to the sort engine.
+            from hashgan_tpu.ops.slab_scan import build_slabbed_layout
+
+            gallery_slabbed = build_slabbed_layout(packed[:n])
         if groupmin_capacity_ok(n, w):
             from hashgan_tpu.ops.groupmin import to_grouped_layout
             from hashgan_tpu.ops.mxu_scan import to_group_major
@@ -316,7 +339,7 @@ def build_gallery_from_packed(
         gallery_t=gallery_t, labels=np.asarray(labels), n=n, bits=bits,
         mesh=mesh, gallery_grouped=gallery_grouped,
         packed_canonical=packed_canonical, canon_bg=canon_bg,
-        gallery_pm8=gallery_pm8,
+        gallery_pm8=gallery_pm8, gallery_slabbed=gallery_slabbed,
     )
 
 

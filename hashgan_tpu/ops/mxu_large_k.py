@@ -265,6 +265,7 @@ def mxu_topk_large(
     n_total = L * c
     bits = 32 * w
     stride = n_total + 1
+    sigma = min(sigma, L)  # small (test) layouts: degrade toward columns
     assert L % sigma == 0, (L, sigma)
     r_sub = L // sigma
     assert (bits + 2) * stride + n_total < 2**31, "composite key overflow"
