@@ -56,6 +56,28 @@ def run_serving_bench(
         dt = min(times)
         out[f"seconds_{mode}"] = dt
         out[f"qps_{mode}"] = batch / dt
+
+    # Sustained QPS: R DISTINCT batches (a loop-invariant batch would let
+    # XLA hoist work — docs/BENCHMARKS.md) through the double-buffered
+    # pipeline; batch t+1 dispatches before batch t's result host-copy, so
+    # tunnel dispatch latency and the copy overlap device compute.
+    from hashgan_tpu.index import ServingPipeline
+
+    r_batches = 16
+    stream = [
+        rng.integers(0, 255, (batch, image_size, image_size, 3)).astype(np.uint8)
+        for _ in range(r_batches)
+    ]
+    for mode in ("exact", "approx"):
+        pipe = ServingPipeline(engine, k=k, mode=mode, depth=2)
+        for _res in pipe.map_batches(stream[:2]):  # compile + warm
+            pass
+        t0 = time.perf_counter()
+        got = sum(1 for _res in pipe.map_batches(stream))
+        dt_all = time.perf_counter() - t0
+        assert got == r_batches
+        out[f"seconds_sustained_{mode}"] = dt_all / r_batches
+        out[f"qps_sustained_{mode}"] = r_batches * batch / dt_all
     return out
 
 

@@ -1,2 +1,6 @@
 from hashgan_tpu.index.gallery import PackedGallery, build_gallery  # noqa: F401
-from hashgan_tpu.index.engine import QueryEngine, QueryResult  # noqa: F401
+from hashgan_tpu.index.engine import (  # noqa: F401
+    QueryEngine,
+    QueryResult,
+    ServingPipeline,
+)

@@ -84,3 +84,82 @@ class QueryEngine:
         return self.query_codes(
             self.encode(images_u8), k=k, mode=mode, with_labels=with_labels
         )
+
+
+class ServingPipeline:
+    """Double-buffered serving: encode -> pack -> MXU scan -> top-k as ONE
+    fused jit per batch, dispatched asynchronously with a bounded in-flight
+    queue so batch t+1's device work overlaps batch t's result host-copy
+    (and, on the remote axon platform, the per-dispatch tunnel latency —
+    the dominant single-shot cost; see docs/BENCHMARKS.md serving rows).
+
+    Gallery arrays are jit ARGUMENTS, not closure constants (large device
+    constants blow up the axon remote-compile request), and the valid count
+    is traced so gallery swaps never recompile.
+    """
+
+    def __init__(self, engine: QueryEngine, k: int = 100,
+                 mode: str = "exact", depth: int = 2,
+                 interpret: bool = False):
+        import collections
+        import functools
+
+        import jax
+
+        from hashgan_tpu.ops.mxu_large_k import mxu_topk_large
+        from hashgan_tpu.ops.mxu_scan import mxu_topk
+
+        gal = engine.gallery
+        if gal.mesh is not None and gal.mesh.size > 1:
+            raise NotImplementedError(
+                "ServingPipeline is single-chip; mesh galleries serve "
+                "through PackedGallery.topk's sharded engines"
+            )
+        if gal.gallery_grouped is None or gal.canon_bg is None:
+            raise ValueError(
+                "gallery has no grouped layout (over-capacity galleries "
+                "serve through PackedGallery.topk's slab engine)"
+            )
+        self.engine = engine
+        self.k = k
+        self.depth = depth
+        topk_fn = mxu_topk if k <= 256 else mxu_topk_large
+        topk_fn = functools.partial(
+            topk_fn, k=k, mode=mode, interpret=interpret
+        )
+        encode = engine._encode
+
+        def step(params, images_u8, gallery_g, canon_bg, valid_n):
+            codes = encode(params, images_u8)
+            pq = pack_codes(codes)
+            return topk_fn(pq, gallery_g, canon_bg, valid_n=valid_n)
+
+        self._step = jax.jit(step)
+        self._inflight: "collections.deque" = collections.deque()
+
+    def submit(self, images_u8: np.ndarray) -> None:
+        """Dispatch a batch (async); results queue until drained."""
+        import jax.numpy as _jnp
+
+        gal = self.engine.gallery
+        d, i = self._step(
+            self.engine.params, _jnp.asarray(images_u8),
+            gal.gallery_grouped, gal.canon_bg, _jnp.int32(gal.n),
+        )
+        self._inflight.append((d, i))
+
+    def drain(self) -> QueryResult:
+        """Force the OLDEST in-flight batch to the host (newer batches keep
+        computing on-device while this copy runs)."""
+        d, i = self._inflight.popleft()
+        return QueryResult(distances=np.asarray(d), indices=np.asarray(i))
+
+    def map_batches(self, batches):
+        """Stream batches through the pipeline, yielding results in order
+        with at most ``depth`` batches in flight."""
+        for b in batches:
+            self.submit(b)
+            while len(self._inflight) >= self.depth:
+                yield self.drain()
+        while self._inflight:
+            yield self.drain()

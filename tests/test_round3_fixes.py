@@ -132,3 +132,54 @@ def test_restore_migrates_missing_g_ema_stats(tmp_path):
             jax.tree_util.tree_map(np.asarray, exp2.gan_state.g_stats)),
     ):
         np.testing.assert_array_equal(a, b)
+
+
+# ----------------------------------------------------------------------------
+# ServingPipeline: fused-step double-buffered serving
+# ----------------------------------------------------------------------------
+
+def test_serving_pipeline_matches_query_engine():
+    from hashgan_tpu.index import QueryEngine, ServingPipeline, build_gallery
+    from hashgan_tpu.models.encoders import build_encoder
+
+    rng = np.random.default_rng(4)
+    n, bits, k, batch = 500, 32, 10, 8
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    labels = np.eye(2, dtype=np.float32)[np.zeros(n, int)]
+    gal = build_gallery(jnp.asarray(codes), labels, bits, use_pallas=False)
+    enc = build_encoder("small_cnn", bits)
+    dummy = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    params = enc.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        dummy, train=False,
+    )["params"]
+    eng = QueryEngine(enc, params, gal)
+    pipe = ServingPipeline(eng, k=k, depth=2, interpret=True)
+    batches = [
+        rng.integers(0, 255, (batch, 16, 16, 3)).astype(np.uint8)
+        for _ in range(5)
+    ]
+    results = list(pipe.map_batches(batches))
+    assert len(results) == 5
+    # results arrive in submission order and match the unfused engine path
+    for b, res in zip(batches, results):
+        ref = eng.query_images(b, k=k)
+        np.testing.assert_array_equal(res.indices, ref.indices)
+        np.testing.assert_array_equal(res.distances, ref.distances)
+
+
+def test_serving_pipeline_rejects_mesh_and_ungrouped():
+    import pytest as _pytest
+
+    from hashgan_tpu.index import QueryEngine, ServingPipeline, build_gallery
+    from hashgan_tpu.models.encoders import build_encoder
+    from hashgan_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(5)
+    codes = np.where(rng.uniform(size=(300, 32)) < 0.5, -1.0, 1.0).astype(np.float32)
+    labels = np.zeros((300, 1), np.float32)
+    enc = build_encoder("small_cnn", 32)
+    gal_mesh = build_gallery(jnp.asarray(codes), labels, 32,
+                             mesh=make_mesh(2), use_pallas=False)
+    with _pytest.raises(NotImplementedError):
+        ServingPipeline(QueryEngine(enc, None, gal_mesh))
