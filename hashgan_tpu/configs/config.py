@@ -130,6 +130,12 @@ class EvalConfig:
     R: int = 1000                         # MAP@R cutoff (5000 for NUS-WIDE)
     precision_radius: int = 2             # precision@Hamming<=2
     pr_curve: bool = True
+    # Galleries past this size stream histogram MAP instead of exact
+    # ranked MAP (both tie-aware; see eval/streaming.py).
+    streaming_threshold: int = 200_000
+    # Minimum split size before the encode forward shards over the mesh
+    # (below it, single-device keeps f32 summation order deterministic).
+    encode_shard_min: int = 50_000
 
 
 @dataclass(frozen=True)

@@ -207,13 +207,24 @@ class PackedGallery:
         """Append items; returns a NEW gallery (functional, like everything
         else in this framework). New items take ids n..n+m-1; existing ids
         are stable. The scan layouts are rebuilt — they are pure layout
-        transforms (memcpy-speed), and rebuilding keeps the contiguous-id
-        tie-order contract exact rather than bolting on tombstones."""
-        packed_new = np.asarray(pack_codes(jnp.asarray(codes),
-                                           use_pallas=use_pallas))
-        packed = np.concatenate([self.canonical_packed(), packed_new], axis=0)
+        transforms, and rebuilding keeps the contiguous-id tie-order
+        contract exact rather than bolting on tombstones. Single-chip
+        galleries rebuild ON DEVICE (only the new items cross the wire —
+        host transfers are the slow path on this platform); mesh/slabbed
+        galleries take the host path (resharding needs the host anyway)."""
+        packed_new = pack_codes(jnp.asarray(codes), use_pallas=use_pallas)
         labels_all = np.concatenate(
             [self.labels[: self.n], np.asarray(labels)], axis=0
+        )
+        if self._device_resident():
+            packed = jnp.concatenate(
+                [self.packed_canonical[: self.n], packed_new], axis=0
+            )
+            return build_gallery_from_packed_device(
+                packed, labels_all, self.bits, build_pm8=self._has_pm8()
+            )
+        packed = np.concatenate(
+            [self.canonical_packed(), np.asarray(packed_new)], axis=0
         )
         return build_gallery_from_packed(packed, labels_all, self.bits,
                                          mesh=self.mesh,
@@ -224,17 +235,38 @@ class PackedGallery:
         ``id_map[new_id] = old_id``. Ids are reassigned to stay contiguous
         (the exact tie-order contract ranks by database index, so stable
         ids with holes would silently change ranking semantics — the id map
-        makes the translation explicit instead)."""
+        makes the translation explicit instead). Single-chip galleries
+        rebuild on device (a keep-index gather; no gallery host copy)."""
         mask = np.ones(self.n, dtype=bool)
         mask[np.asarray(ids)] = False
         keep = np.flatnonzero(mask)
-        packed = self.canonical_packed()[keep]
         labels = self.labels[: self.n][keep]
+        if self._device_resident():
+            packed = jnp.take(
+                self.packed_canonical[: self.n], jnp.asarray(keep), axis=0
+            )
+            return (
+                build_gallery_from_packed_device(
+                    packed, labels, self.bits, build_pm8=self._has_pm8()
+                ),
+                keep,
+            )
+        packed = self.canonical_packed()[keep]
         return (
             build_gallery_from_packed(packed, labels, self.bits,
                                       mesh=self.mesh,
                                       build_pm8=self._has_pm8()),
             keep,
+        )
+
+    def _device_resident(self) -> bool:
+        """True when the canonical packed codes live on device and the
+        single-chip grouped engine is in play (the incremental-update fast
+        path); mesh and over-capacity galleries rebuild via the host."""
+        return (
+            (self.mesh is None or self.mesh.size == 1)
+            and self.packed_canonical is not None
+            and self.gallery_slabbed is None
         )
 
     def _has_pm8(self) -> bool:
@@ -340,6 +372,54 @@ def build_gallery_from_packed(
         mesh=mesh, gallery_grouped=gallery_grouped,
         packed_canonical=packed_canonical, canon_bg=canon_bg,
         gallery_pm8=gallery_pm8, gallery_slabbed=gallery_slabbed,
+    )
+
+
+def build_gallery_from_packed_device(
+    packed: jnp.ndarray,
+    labels: np.ndarray,
+    bits: int,
+    build_pm8: bool = False,
+    groups: int = 128,
+    col_multiple: int = 256,
+) -> PackedGallery:
+    """Single-chip gallery build from DEVICE-resident packed codes: every
+    layout (scan transpose, grouped, group-major rescan rows) is a pure
+    reshape/transpose executed on device, so incremental updates
+    (extend/remove) never round-trip the gallery through the host. Produces
+    bit-identical layouts to build_gallery_from_packed (asserted in
+    tests/test_round3_fixes.py). Falls back to the host builder past the
+    grouped capacity (slabbed layouts reshard host-side)."""
+    from hashgan_tpu.ops.groupmin import groupmin_capacity_ok
+
+    n, w = packed.shape
+    if not groupmin_capacity_ok(n, w, groups, col_multiple):
+        return build_gallery_from_packed(
+            np.asarray(packed), labels, bits, build_pm8=build_pm8
+        )
+    n_pad8 = ((n + 7) // 8) * 8
+    padded8 = jnp.concatenate(
+        [packed, jnp.zeros((n_pad8 - n, w), jnp.uint32)], axis=0
+    ) if n_pad8 != n else packed
+    gallery_t = padded8.T
+    L = groups
+    c = -(-n // (L * col_multiple)) * col_multiple
+    n_tot = L * c
+    canon = jnp.concatenate(
+        [packed, jnp.zeros((n_tot - n, w), jnp.uint32)], axis=0
+    ) if n_tot != n else packed
+    cube = canon.reshape(L, c, w)
+    gallery_grouped = cube.transpose(2, 0, 1)               # (W, L, C)
+    canon_bg = cube.transpose(1, 0, 2).reshape(c, L * w)    # (C, L*W)
+    gallery_pm8 = None
+    if build_pm8 and 32 * w * n_tot <= PM8_BUDGET_BYTES:
+        from hashgan_tpu.ops.mxu_scan import grouped_to_pm8
+
+        gallery_pm8 = grouped_to_pm8(gallery_grouped)
+    return PackedGallery(
+        gallery_t=gallery_t, labels=np.asarray(labels), n=n, bits=bits,
+        mesh=None, gallery_grouped=gallery_grouped,
+        packed_canonical=canon, canon_bg=canon_bg, gallery_pm8=gallery_pm8,
     )
 
 

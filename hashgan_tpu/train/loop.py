@@ -345,7 +345,7 @@ class Experiment:
             # shard the forward only where it pays: partitioned matmuls sum
             # in a different order (f32-rounding-level code differences), so
             # small splits stay single-device for strict determinism
-            mesh=self.mesh if n >= 50_000 else None,
+            mesh=self.mesh if n >= self.cfg.eval.encode_shard_min else None,
         )
 
     def build_index(self, save_path: Optional[str] = None) -> PackedGallery:
@@ -358,22 +358,28 @@ class Experiment:
             gal.save(save_path)
         return gal
 
-    def evaluate(self, streaming_threshold: int = 200_000) -> Dict[str, float]:
+    def evaluate(
+        self, streaming_threshold: int | None = None
+    ) -> Dict[str, float]:
         """Hamming-ranking eval: exact MAP@R for small/medium galleries,
         tie-aware streaming MAP (eval/streaming.py) beyond
-        ``streaming_threshold`` items; P@H<=r always exact; PR curve dumped
-        to the workdir when cfg.eval.pr_curve.
+        ``streaming_threshold`` items (default cfg.eval.streaming_threshold);
+        P@H<=r always exact; PR curve dumped to the workdir when
+        cfg.eval.pr_curve.
 
         Under a multi-device mesh the gallery is sharded over the ``data``
         axis and both paths run the sharded engines (eval/sharded.py). The
         ranking/metric stage is bit-equal to single-device GIVEN identical
-        codes; encoding itself shards for splits >= 50k (encode_split),
+        codes; encoding itself shards for splits >=
+        cfg.eval.encode_shard_min (encode_split),
         where partitioned matmuls change the f32 summation order — so
         end-to-end metrics on large splits are rounding-equal, not
         bit-equal."""
         import numpy as _np
 
         cfg = self.cfg
+        if streaming_threshold is None:
+            streaming_threshold = cfg.eval.streaming_threshold
         codes_q = self.encode_split("query")
         codes_db = self.encode_split("database")
         pq = pack_codes(jnp.asarray(codes_q))

@@ -183,3 +183,48 @@ def test_serving_pipeline_rejects_mesh_and_ungrouped():
                              mesh=make_mesh(2), use_pallas=False)
     with _pytest.raises(NotImplementedError):
         ServingPipeline(QueryEngine(enc, None, gal_mesh))
+
+
+# ----------------------------------------------------------------------------
+# Device-side incremental index maintenance
+# ----------------------------------------------------------------------------
+
+def test_device_extend_remove_bit_identical_to_host_build():
+    from hashgan_tpu.index import build_gallery
+    from hashgan_tpu.index.gallery import build_gallery_from_packed
+    from hashgan_tpu.ops import pack_codes_np
+
+    rng = np.random.default_rng(9)
+    bits = 32
+    codes_a = np.where(rng.uniform(size=(300, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    codes_b = np.where(rng.uniform(size=(80, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    lab_a = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 300)]
+    lab_b = np.eye(3, dtype=np.float32)[rng.integers(0, 3, 80)]
+
+    gal = build_gallery(jnp.asarray(codes_a), lab_a, bits, use_pallas=False)
+    assert gal._device_resident()
+    ext = gal.extend(jnp.asarray(codes_b), lab_b, use_pallas=False)
+    # reference: host rebuild from the concatenated canonical codes
+    ref = build_gallery_from_packed(
+        np.concatenate([pack_codes_np(codes_a), pack_codes_np(codes_b)]),
+        np.concatenate([lab_a, lab_b]), bits,
+    )
+    assert ext.n == ref.n == 380
+    np.testing.assert_array_equal(np.asarray(ext.gallery_t),
+                                  np.asarray(ref.gallery_t))
+    np.testing.assert_array_equal(np.asarray(ext.gallery_grouped),
+                                  np.asarray(ref.gallery_grouped))
+    np.testing.assert_array_equal(np.asarray(ext.canon_bg),
+                                  np.asarray(ref.canon_bg))
+    np.testing.assert_array_equal(np.asarray(ext.packed_canonical),
+                                  np.asarray(ref.packed_canonical))
+    np.testing.assert_array_equal(ext.labels, ref.labels)
+
+    # remove: device gather path, id map translates, layouts match host
+    removed, keep = ext.remove([0, 5, 379])
+    ref2 = build_gallery_from_packed(
+        np.asarray(ref.packed_canonical)[:380][keep], ref.labels[keep], bits,
+    )
+    np.testing.assert_array_equal(np.asarray(removed.gallery_grouped),
+                                  np.asarray(ref2.gallery_grouped))
+    assert removed.n == 377 and keep.shape == (377,)
