@@ -228,3 +228,28 @@ def test_device_extend_remove_bit_identical_to_host_build():
     np.testing.assert_array_equal(np.asarray(removed.gallery_grouped),
                                   np.asarray(ref2.gallery_grouped))
     assert removed.n == 377 and keep.shape == (377,)
+
+
+def test_serving_pipeline_large_k_path():
+    """k > 256 inside the fused serving step routes through mxu_topk_large
+    and stays exact vs the unfused engine."""
+    from hashgan_tpu.index import QueryEngine, ServingPipeline, build_gallery
+    from hashgan_tpu.models.encoders import build_encoder
+
+    rng = np.random.default_rng(6)
+    n, bits, k, batch = 600, 32, 400, 4
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.5, -1.0, 1.0).astype(np.float32)
+    labels = np.zeros((n, 1), np.float32)
+    gal = build_gallery(jnp.asarray(codes), labels, bits, use_pallas=False)
+    enc = build_encoder("small_cnn", bits)
+    params = enc.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((2, 16, 16, 3), jnp.float32), train=False,
+    )["params"]
+    eng = QueryEngine(enc, params, gal)
+    pipe = ServingPipeline(eng, k=k, depth=2, interpret=True)
+    b = rng.integers(0, 255, (batch, 16, 16, 3)).astype(np.uint8)
+    res = list(pipe.map_batches([b]))[0]
+    ref = eng.query_images(b, k=k)
+    np.testing.assert_array_equal(res.indices, ref.indices)
+    np.testing.assert_array_equal(res.distances, ref.distances)
