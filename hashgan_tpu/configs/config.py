@@ -70,6 +70,9 @@ class EncoderConfig:
     lr: float = 1e-3
     hash_lr_multiplier: float = 10.0      # reference: 10x lr on new hash layer
     iters: int = 10_000
+    decay_lr: bool = False                # linear lr decay over iters
+                                          # (reference-horizon runs: decay to
+                                          # 0 across the full stage-II budget)
     pretrained_npy: Optional[str] = None  # bvlc_alexnet.npy path if available
     # Reference AlexNet input protocol (SURVEY.md C9/§3.5): resize to
     # ``resize_base`` (256), random-crop (train) / center-crop (eval) to

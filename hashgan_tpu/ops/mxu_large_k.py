@@ -18,13 +18,20 @@ items) to SUBGROUPS of ``sigma`` (default 16) consecutive sublanes:
 - The rescan rows are sigma*W-word slices of the SAME group-major canonical
   copy the column engine gathers from (a reshape, no extra HBM).
 - Selection over the wide minima/rescan arrays is pluggable (static arg):
-  ``twolevel`` reuses the rank-bound min-reduction built on lax.top_k;
-  ``radix`` is a TPU-native counting select: a multi-pivot threshold search
-  (no sort, no top_k — P pivots per round, ~6 passes for the whole int32
-  key space) finds the exact k-th smallest key, then a cumsum scatter (or
-  searchsorted gather) compacts the exactly-k survivors. Both are exact on
-  the DISTINCT composite keys; which is faster is measured on-chip
-  (docs/BENCHMARKS.md).
+  ``twolevel`` (default) reuses the rank-bound min-reduction built on
+  lax.top_k (which degrades to ONE direct top_k when the reduction cannot
+  shrink the problem — the common case at k=5000); ``radix`` is a counting
+  select: a multi-pivot threshold search (P pivots per round, ~7 passes
+  over the int32 key space) finds the exact k-th smallest key, then a
+  cumsum scatter (or searchsorted gather) compacts the exactly-k
+  survivors. Both are exact on the DISTINCT composite keys. MEASURED on
+  v5e (1M x 128-bit, 1024 q, k=5000 — docs/BENCHMARKS.md round 3): the
+  threshold search itself is HBM-bound and fine (44 ms over the 65536-wide
+  minima), but BOTH compaction schemes are catastrophic on TPU (scatter
+  538 ms, vmapped searchsorted 1612 ms — XLA scatters serialize), while
+  lax.top_k over the same array is 114 ms and returns sorted keys for
+  free. So ``twolevel`` is the default; ``radix`` stays as the documented
+  negative result.
 
 Total order is the same oracle contract: (distance asc, database index
 asc); composite keys d*stride + idx are globally distinct, padding slots
@@ -246,7 +253,7 @@ def mxu_topk_large(
     col_block: int = 128,
     interpret: bool = False,
     mode: str = "exact",
-    select: str = "radix",
+    select: str = "twolevel",
     compact: str = "scatter",
     recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

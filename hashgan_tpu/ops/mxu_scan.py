@@ -322,7 +322,10 @@ def _twolevel_topk_min(keys: jnp.ndarray, kk: int, g: int = 16):
     """
     q, m = keys.shape
     n_sub = m // g
-    if n_sub < kk or m <= 4 * kk or m % g != 0:
+    if n_sub < kk or m <= 4 * kk or m % g != 0 or kk * g >= m:
+        # kk*g >= m: the "reduction" would re-select over >= m candidates —
+        # strictly worse than one direct top_k (measured at the large-k
+        # merge shapes, docs/BENCHMARKS.md round 3).
         negk, pos = jax.lax.top_k(-keys, kk)
         return -negk, pos
     sub = keys.reshape(q, n_sub, g)

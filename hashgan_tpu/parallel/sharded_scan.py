@@ -338,15 +338,17 @@ def sharded_mxu_topk_large(
     col_block: int = 128,
     interpret: bool = False,
     mode: str = "exact",
-    select: str = "radix",
+    select: str = "twolevel",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact large-k (k in the thousands) over a contiguously sharded
     gallery: per-shard subgroup-min engine (ops/mxu_large_k.py), k
-    candidates per chip over ICI, position-key merge. The merge reuses the
-    distance*n_cand+position key (exact for any gallery size) but selects
-    with the counting machinery instead of lax.top_k — at k=5000 the merge
-    set is nd*k wide and a sort/top_k there would dominate. Sentinels get
-    distinct above-any-valid position keys so the count stays exact."""
+    candidates per chip over ICI, position-key merge (exact for any
+    gallery size). The merge selects with lax.top_k by default — measured
+    on v5e (docs/BENCHMARKS.md round 3) the counting select's compaction
+    step (scatter / searchsorted) is 5-14x SLOWER than top_k at these
+    widths, so ``select="radix"`` stays only as the documented negative
+    result. Sentinels get distinct above-any-valid position keys so the
+    radix path's count stays exact."""
     from hashgan_tpu.ops.mxu_large_k import (
         _compact_masked, count_select_threshold, mxu_topk_large,
     )

@@ -66,7 +66,11 @@ def make_gan_tx(
 
 
 def make_encoder_tx(cfg: EncoderConfig) -> optax.GradientTransformation:
-    base = optax.adam(cfg.lr)
+    lr = (
+        optax.linear_schedule(cfg.lr, 0.0, cfg.iters)
+        if cfg.decay_lr else cfg.lr
+    )
+    base = optax.adam(lr)
     if cfg.hash_lr_multiplier == 1.0:
         return base
     return optax.chain(

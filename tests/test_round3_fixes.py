@@ -253,3 +253,33 @@ def test_serving_pipeline_large_k_path():
     ref = eng.query_images(b, k=k)
     np.testing.assert_array_equal(res.indices, ref.indices)
     np.testing.assert_array_equal(res.distances, ref.distances)
+
+
+def test_encoder_decay_lr_schedule():
+    """EncoderConfig.decay_lr: lr decays linearly to 0 over cfg.iters —
+    late-step updates shrink toward zero (reference-horizon schedule)."""
+    import optax
+
+    from hashgan_tpu.configs import EncoderConfig
+    from hashgan_tpu.train.state import make_encoder_tx
+
+    cfg = EncoderConfig(lr=1e-2, hash_lr_multiplier=1.0, iters=10,
+                        decay_lr=True)
+    tx = make_encoder_tx(cfg)
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    sizes = []
+    for _ in range(10):
+        updates, state = tx.update(grads, state, params)
+        sizes.append(float(jnp.abs(updates["w"]).max()))
+    # monotone shrink toward 0; final step's lr is ~1/10th of the first's
+    assert sizes[-1] < sizes[0] * 0.2, sizes
+    # constant-lr control does not shrink
+    tx_c = make_encoder_tx(EncoderConfig(lr=1e-2, hash_lr_multiplier=1.0))
+    state_c = tx_c.init(params)
+    sizes_c = []
+    for _ in range(10):
+        updates, state_c = tx_c.update(grads, state_c, params)
+        sizes_c.append(float(jnp.abs(updates["w"]).max()))
+    assert sizes_c[-1] > sizes_c[0] * 0.9, sizes_c
