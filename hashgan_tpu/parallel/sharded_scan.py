@@ -25,6 +25,23 @@ from jax import shard_map
 
 from hashgan_tpu.ops.hamming import hamming_scan_topk
 
+# jit-of-shard_map cache: shard_map builds a fresh traced callable per
+# call, so jitting at the call site would miss the jit cache every time —
+# and an UN-jitted shard_map dispatches eagerly, one remote op at a time
+# (measured 20.6 s vs 37.6 ms for the same mesh=1 scan on the axon
+# platform — docs/BENCHMARKS.md round 3). Each engine memoizes its jitted
+# shard_map on the static config; jax.jit handles shape polymorphism
+# within an entry. Mesh objects hash by device assignment + axis names.
+_SHARD_FN_CACHE: dict = {}
+
+
+def _cached_shard_fn(key, build):
+    fn = _SHARD_FN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build())
+        _SHARD_FN_CACHE[key] = fn
+    return fn
+
 
 def sharded_hamming_topk(
     mesh: Mesh,
@@ -51,7 +68,7 @@ def sharded_hamming_topk(
     if valid_n is None:
         valid_n = n
 
-    def local_scan(q, g_local):
+    def local_scan(q, g_local):  # noqa: C901 — one fused scan body
         # g_local: (W, local_n) resident shard
         shard_idx = jax.lax.axis_index(axis)
         local_valid = jnp.clip(valid_n - shard_idx * local_n, 0, local_n)
@@ -88,12 +105,15 @@ def sharded_hamming_topk(
         i_out = jnp.where(d_out > max_d, n, i_out)
         return d_out, i_out
 
-    fn = shard_map(
-        local_scan,
-        mesh=mesh,
-        in_specs=(P(None, None), P(None, axis)),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
+    fn = _cached_shard_fn(
+        ("hamming", mesh, n, k, slab, axis, use_pallas, int(valid_n)),
+        lambda: shard_map(
+            local_scan,
+            mesh=mesh,
+            in_specs=(P(None, None), P(None, axis)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        ),
     )
     return fn(packed_q, gallery_t)
 
@@ -214,13 +234,17 @@ def sharded_groupmin_topk(
         i_out = jnp.where(is_sentinel, n, i_out)
         return d_out, i_out, fbs
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, None), P(axis, None, None, None),
-                  P(axis, None, None), P(axis)),
-        out_specs=(P(None, None), P(None, None), P(None,)),
-        check_vma=False,
+    fn = _cached_shard_fn(
+        ("groupmin", mesh, n, n_loc, k, repair, axis, query_tile, col_block,
+         interpret, exact, packed_q.shape[1]),
+        lambda: shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, None), P(axis, None, None, None),
+                      P(axis, None, None), P(axis)),
+            out_specs=(P(None, None), P(None, None), P(None,)),
+            check_vma=False,
+        ),
     )
     return fn(packed_q, grouped, canon, valids)
 
@@ -292,12 +316,16 @@ def sharded_mxu_topk(
     if gallery_pm8 is not None:
         in_specs.append(P(axis, None, None, None, None))
         args.append(gallery_pm8)
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
+    fn = _cached_shard_fn(
+        ("mxu", mesh, n, n_loc, k, axis, query_tile, col_block, interpret,
+         mode, gallery_pm8 is not None, packed_q.shape[1]),
+        lambda: shard_map(
+            local,
+            mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        ),
     )
     return fn(*args)
 
@@ -393,12 +421,16 @@ def sharded_mxu_topk_large(
         i_out = jnp.where(is_sentinel, n, i_out)
         return d_out, i_out
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, None), P(axis, None, None, None),
-                  P(axis, None, None), P(axis)),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
+    fn = _cached_shard_fn(
+        ("mxu_large", mesh, n, n_loc, k, axis, sigma, query_tile, col_block,
+         interpret, mode, select, packed_q.shape[1]),
+        lambda: shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, None), P(axis, None, None, None),
+                      P(axis, None, None), P(axis)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        ),
     )
     return fn(packed_q, grouped, canon_bg, valids)
