@@ -283,3 +283,37 @@ def test_encoder_decay_lr_schedule():
         updates, state_c = tx_c.update(grads, state_c, params)
         sizes_c.append(float(jnp.abs(updates["w"]).max()))
     assert sizes_c[-1] > sizes_c[0] * 0.9, sizes_c
+
+
+def test_sharded_scan_jit_cache_reuses_compiled_fn():
+    """sharded_* engines memoize their jit-of-shard_map: repeated calls with
+    the same static config must reuse one cache entry (an un-jitted
+    shard_map dispatches eagerly — measured 20.6s vs 34.5ms on the real
+    chip, docs/BENCHMARKS.md round 3)."""
+    from hashgan_tpu.parallel import sharded_scan as ss
+    from hashgan_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    mesh = make_mesh(2)
+    n, w = 512, 1
+    pg = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
+    pq = jnp.asarray(rng.integers(0, 2**32, (4, w), dtype=np.uint32))
+    grouped, canon, valids, canon_bg, _ = ss.shard_grouped_gallery(
+        mesh, pg, groups=4, col_multiple=16
+    )
+    before = len(ss._SHARD_FN_CACHE)
+    d1, i1 = ss.sharded_mxu_topk(
+        mesh, pq, grouped, canon_bg, valids, n=n, k=5,
+        query_tile=4, col_block=16, interpret=True)
+    mid = len(ss._SHARD_FN_CACHE)
+    d2, i2 = ss.sharded_mxu_topk(
+        mesh, pq, grouped, canon_bg, valids, n=n, k=5,
+        query_tile=4, col_block=16, interpret=True)
+    after = len(ss._SHARD_FN_CACHE)
+    assert mid == before + 1 and after == mid  # one entry, reused
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # a different static config gets its own entry
+    ss.sharded_mxu_topk(
+        mesh, pq, grouped, canon_bg, valids, n=n, k=7,
+        query_tile=4, col_block=16, interpret=True)
+    assert len(ss._SHARD_FN_CACHE) == after + 1
