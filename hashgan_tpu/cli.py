@@ -114,6 +114,24 @@ def cmd_query(args) -> None:
         }))
 
 
+def cmd_serve(args) -> None:
+    """HTTP retrieval service over a saved gallery (index/server.py).
+
+    With --config/--workdir the encoder checkpoint is restored and image
+    queries work; gallery-only serving answers code queries."""
+    from hashgan_tpu.index import PackedGallery, QueryEngine
+    from hashgan_tpu.index.server import serve_forever
+
+    if args.config:
+        cfg = _load_config(args.config)
+        engine = QueryEngine.from_artifacts(
+            cfg, args.workdir or cfg.train.workdir, args.gallery
+        )
+    else:
+        engine = QueryEngine(None, None, PackedGallery.load(args.gallery))
+    serve_forever(engine, host=args.host, port=args.port, default_k=args.k)
+
+
 def cmd_bench_scan(args) -> None:
     from hashgan_tpu.bench_scan import run_bench
 
@@ -165,6 +183,16 @@ def main(argv=None) -> None:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--n-queries", type=int, default=4)
     q.set_defaults(fn=cmd_query)
+
+    w = sub.add_parser("serve", help="HTTP retrieval service over a gallery")
+    w.add_argument("--gallery", required=True)
+    w.add_argument("--config", default=None,
+                   help="preset/yaml: restore the encoder for image queries")
+    w.add_argument("--workdir", default=None)
+    w.add_argument("--host", default="127.0.0.1")
+    w.add_argument("--port", type=int, default=8080)
+    w.add_argument("--k", type=int, default=100)
+    w.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("bench-scan", help="Hamming scan throughput benchmark")
     s.add_argument("--bits", type=int, default=128)

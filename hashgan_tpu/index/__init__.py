@@ -4,3 +4,8 @@ from hashgan_tpu.index.engine import (  # noqa: F401
     QueryResult,
     ServingPipeline,
 )
+from hashgan_tpu.index.server import (  # noqa: F401
+    GalleryService,
+    make_server,
+    serve_forever,
+)

@@ -31,14 +31,18 @@ class QueryEngine:
 
     def __init__(self, encoder, params, gallery: PackedGallery,
                  cfg: Optional[Config] = None):
-        from hashgan_tpu.train.hash_step import make_encode_fn
-
         self.encoder = encoder
         self.params = params
         self.gallery = gallery
         # cfg threads the eval-time input geometry (the reference's
         # resize-256 -> center-crop-227 AlexNet protocol) into encoding.
-        self._encode = make_encode_fn(encoder, cfg)
+        # encoder=None serves code-only queries (gallery without a model).
+        if encoder is not None:
+            from hashgan_tpu.train.hash_step import make_encode_fn
+
+            self._encode = make_encode_fn(encoder, cfg)
+        else:
+            self._encode = None
 
     @classmethod
     def from_artifacts(
@@ -56,6 +60,11 @@ class QueryEngine:
         return cls(exp.encoder, exp.encoder_state.params, gallery, cfg=cfg)
 
     def encode(self, images_u8: np.ndarray) -> jnp.ndarray:
+        if self._encode is None:
+            raise ValueError(
+                "this QueryEngine was built without an encoder (code-only "
+                "serving); query with codes, or construct it with a model"
+            )
         return self._encode(self.params, jnp.asarray(images_u8))
 
     def query_codes(
