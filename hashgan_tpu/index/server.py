@@ -107,10 +107,13 @@ class GalleryService:
                 )
             else:
                 raise ValueError("payload needs 'codes' or 'images'")
+            # Capture n under the lock: a concurrent extend/remove must not
+            # make the reported gallery size disagree with the ranking's.
+            n = self.engine.gallery.n
         out = {
             "distances": res.distances.tolist(),
             "indices": res.indices.tolist(),
-            "n": self.engine.gallery.n,
+            "n": n,
         }
         if res.labels is not None:
             out["labels"] = res.labels.tolist()
