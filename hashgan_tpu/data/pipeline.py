@@ -73,6 +73,10 @@ class BatchIterator:
             offsets = np.concatenate([[0], np.cumsum(sizes)])
             self._class_index = (cols, offsets, sizes)
         concat, offsets, sizes = self._class_index
+        if concat.size == 0:
+            # No item has any active label: every row self-partners (the
+            # dummy-class gather below would index an empty pool).
+            return idx
         a = labels[idx] > 0.5                     # (B, K)
         n_active = a.sum(axis=1)
         # u-th active class per row via cumsum inversion (rows with no

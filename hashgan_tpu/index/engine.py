@@ -129,6 +129,11 @@ class ServingPipeline:
                 "gallery has no grouped layout (over-capacity galleries "
                 "serve through PackedGallery.topk's slab engine)"
             )
+        if engine._encode is None:
+            raise ValueError(
+                "ServingPipeline needs an encoder (QueryEngine built "
+                "without one serves code queries via query_codes)"
+            )
         self.engine = engine
         self.k = k
         self.depth = depth

@@ -61,6 +61,7 @@ class PackedGallery:
         self, packed_q: jnp.ndarray, k: int = 100,
         slab: int = 1 << 17, use_pallas: bool | None = None,
         mode: str = "exact", repair: Optional[int] = None,
+        large_k_max: int = 8192,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Top-k scan; entries with index >= n are padding sentinels.
 
@@ -73,7 +74,13 @@ class PackedGallery:
         subset of the k groups whose min1 <= the k-th best key, of which
         there are exactly k since composite keys are distinct), so serving
         latency never cliffs and no host sync happens. Smaller values trade
-        rescan cost for a (host-synced) fallback check."""
+        rescan cost for a (host-synced) fallback check.
+
+        large_k_max: deepest k served by the subgroup-min MXU engine
+        (ops/mxu_large_k.py), whose rescan materializes O(Q*k) winner
+        subgroups — comfortably covering the MAP@5000 protocol shape.
+        Deeper queries (full-ranking / deep PR curves) stream through the
+        slab-sort engine instead of materializing the gather."""
         if use_pallas is None:
             import jax as _jax
 
@@ -93,7 +100,7 @@ class PackedGallery:
                         self.mesh, packed_q, grouped, canon_bg, valids,
                         n=self.n, k=k, mode=mode, gallery_pm8=pm8,
                     )
-                if repair is None:
+                if repair is None and k <= large_k_max:
                     # Large-k multi-chip engine: per-shard subgroup-min MXU
                     # scan (ops/mxu_large_k.py) + counting-select merge.
                     from hashgan_tpu.parallel.sharded_scan import (
@@ -103,6 +110,13 @@ class PackedGallery:
                     return sharded_mxu_topk_large(
                         self.mesh, packed_q, grouped, canon_bg, valids,
                         n=self.n, k=k, mode=mode,
+                    )
+                if repair is None:
+                    # k past large_k_max: stream via the sharded sort-merge
+                    # engine rather than materializing the winner rescan.
+                    return sharded_hamming_topk(
+                        self.mesh, packed_q, self.gallery_t, k=k, slab=slab,
+                        use_pallas=use_pallas, valid_n=self.n,
                     )
                 from hashgan_tpu.parallel.sharded_scan import (
                     sharded_groupmin_topk,
@@ -132,7 +146,8 @@ class PackedGallery:
                 use_pallas=use_pallas, valid_n=self.n,
             )
         if (use_pallas and self.canon_bg is not None
-                and self.gallery_grouped is not None and repair is None):
+                and self.gallery_grouped is not None and repair is None
+                and k <= large_k_max):
             if k <= 256:
                 # Flagship single-chip engine: MXU matmul distances +
                 # winner-column rescan — exact with data-independent latency
@@ -157,7 +172,7 @@ class PackedGallery:
                 valid_n=self.n, k=k, mode=mode,
             )
         if (use_pallas and self.gallery_slabbed is not None
-                and repair is None):
+                and repair is None and k <= large_k_max):
             # Past the int32 composite ceiling: per-slab rebased keys keep
             # the MXU engines exact at any gallery size (ops/slab_scan.py).
             from hashgan_tpu.ops.slab_scan import mxu_topk_slabbed

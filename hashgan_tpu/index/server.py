@@ -137,6 +137,15 @@ class GalleryService:
     def remove(self, payload: dict) -> dict:
         ids = np.asarray(payload["ids"], dtype=np.int64)
         with self.lock:
+            n = self.engine.gallery.n
+            # Reject out-of-range ids explicitly: numpy would raise an
+            # opaque IndexError for id >= n and — far worse — silently
+            # WRAP negative ids onto real items at the end of the gallery.
+            if ids.size and (ids.min() < 0 or ids.max() >= n):
+                raise ValueError(
+                    f"ids must be in [0, {n}); got range "
+                    f"[{ids.min()}, {ids.max()}]"
+                )
             gal, id_map = self.engine.gallery.remove(ids)
             self.engine.gallery = gal
             return {"n": gal.n, "id_map": id_map.tolist()}
@@ -181,6 +190,10 @@ def _make_handler(service: GalleryService):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError(
+                        f"body must be a JSON object, got {type(payload).__name__}"
+                    )
                 out = route(payload)
             except (ValueError, KeyError, TypeError) as e:
                 service.stats.record(

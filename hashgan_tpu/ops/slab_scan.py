@@ -30,12 +30,14 @@ import numpy as np
 
 def mxu_slab_capacity(words: int, groups: int = 128,
                       col_multiple: int = 256) -> int:
-    """Largest layout-unit multiple of items whose padded composite keys
-    (bits+1)*stride + n_total stay below 2^31 (~16.5M at 128 bits, ~63M at
-    32)."""
+    """Largest layout-unit multiple of items satisfying the STRICTEST slab
+    engine's key bound — mxu_topk_large's (bits+2)*(n+1) + n < 2^31, i.e.
+    n < (2^31 - bits - 2)/(bits + 3) (~16.4M at 128 bits, ~61M at 32).
+    mxu_topk's (bits+1)-scaled bound is looser and also holds, so a
+    default-capacity slab can route to either engine."""
     bits = 32 * words
     unit = groups * col_multiple
-    nt_max = (2**31 - bits - 2) // (bits + 2)
+    nt_max = (2**31 - bits - 2) // (bits + 3)
     return max(unit, (nt_max // unit) * unit)
 
 
@@ -106,9 +108,7 @@ def mxu_topk_slabbed(
     oracle rank order, sentinels d=bits+1 / i=n beyond the valid count).
     In approx mode each slab runs its ApproxTopK path and the merge is
     exact over the per-slab candidates."""
-    from hashgan_tpu.ops.mxu_large_k import (
-        _compact_masked, count_select_threshold, mxu_topk_large,
-    )
+    from hashgan_tpu.ops.mxu_large_k import mxu_topk_large
     from hashgan_tpu.ops.mxu_scan import mxu_topk
 
     q, w = packed_q.shape
@@ -148,12 +148,12 @@ def mxu_topk_slabbed(
     # (d = bits+1 from the slab engines) get distinct keys that sort last.
     key = jnp.minimum(cat_d, bits + 1) * jnp.int32(n_cand) + position
     kk = min(k, s * kk_loc)
-    if kk <= 256:
-        _, pos = jax.lax.top_k(-key, kk)
-    else:
-        tau = count_select_threshold(key, kk, (bits + 2) * n_cand)
-        packed_keys = _compact_masked(key, key <= tau[:, None], kk)
-        pos = jnp.sort(packed_keys, axis=1) % jnp.int32(n_cand)
+    # lax.top_k at every kk: position makes keys distinct (no tie concern)
+    # and the round-3 profile measured top_k 5-14x faster than the
+    # counting-select + scatter compaction at every width tried
+    # (docs/BENCHMARKS.md "large-k phase profile") — the sharded twin
+    # defaults to top_k for the same reason.
+    _, pos = jax.lax.top_k(-key, kk)
     d_out = jnp.take_along_axis(cat_d, pos, axis=1)
     i_out = jnp.take_along_axis(cat_i, pos, axis=1)
     sent = d_out > bits

@@ -32,7 +32,13 @@ from hashgan_tpu.ops.hamming import hamming_scan_topk
 # platform — docs/BENCHMARKS.md round 3). Each engine memoizes its jitted
 # shard_map on the static config; jax.jit handles shape polymorphism
 # within an entry. Mesh objects hash by device assignment + axis names.
-_SHARD_FN_CACHE: dict = {}
+# Keys embed gallery sizes, so a long-lived server whose gallery grows via
+# extend/remove would otherwise accumulate one compiled entry per size —
+# the cache is LRU-bounded to keep dead executables from piling up.
+import collections as _collections
+
+_SHARD_FN_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
+_SHARD_FN_CACHE_MAX = 64
 
 
 def _cached_shard_fn(key, build):
@@ -40,6 +46,10 @@ def _cached_shard_fn(key, build):
     if fn is None:
         fn = jax.jit(build())
         _SHARD_FN_CACHE[key] = fn
+        while len(_SHARD_FN_CACHE) > _SHARD_FN_CACHE_MAX:
+            _SHARD_FN_CACHE.popitem(last=False)
+    else:
+        _SHARD_FN_CACHE.move_to_end(key)
     return fn
 
 
@@ -106,7 +116,8 @@ def sharded_hamming_topk(
         return d_out, i_out
 
     fn = _cached_shard_fn(
-        ("hamming", mesh, n, k, slab, axis, use_pallas, int(valid_n)),
+        ("hamming", mesh, n, packed_q.shape[1], k, slab, axis, use_pallas,
+         int(valid_n)),
         lambda: shard_map(
             local_scan,
             mesh=mesh,

@@ -73,12 +73,15 @@ def test_capacity_formula_matches_kernel_assert():
     for w in (1, 2, 4):
         bits = 32 * w
         cap = mxu_slab_capacity(w)
+        # must satisfy BOTH engines' bounds (mxu_topk_slabbed routes k>256
+        # and approx slabs to mxu_topk_large, whose bound is the stricter)
         assert (bits + 1) * (cap + 1) + cap < 2**31
-        # one more layout unit overflows
+        assert (bits + 2) * (cap + 1) + cap < 2**31
+        # one more layout unit overflows the strict bound (tightness)
         nxt = cap + 128 * 256
-        assert (bits + 1) * (nxt + 1) + nxt >= 2**31
-    assert mxu_slab_capacity(4) > 16_000_000   # ~16.5M at 128-bit
-    assert mxu_slab_capacity(1) > 60_000_000   # ~63M at 32-bit
+        assert (bits + 2) * (nxt + 1) + nxt >= 2**31
+    assert mxu_slab_capacity(4) > 16_000_000   # ~16.4M at 128-bit
+    assert mxu_slab_capacity(1) > 60_000_000   # ~61M at 32-bit
 
 
 def test_gallery_builds_slabbed_beyond_capacity(monkeypatch):
