@@ -9,18 +9,29 @@ scarce-supervision claim at a small horizon (+9.5 MAP pts at 512 labels);
 this script runs the full two-stage workflow at the reference geometry so
 the GAN-co-training configuration is demonstrated at protocol scale:
 
-  stage I : GAN_CYCLES PC-WGAN cycles (5 critic + 1 gen each), linear lr
-            decay over the budget; Wasserstein plateau is the health gate
-            (healthy ~|2-3|, see docs/BENCHMARKS.md).
-  stage II: ENC_ITERS encoder steps co-training on real u fake at the
-            227px AlexNet protocol, MAP@5000 milestones every 5k steps.
-  ablation: same stage II with use_gan_samples=False in a sibling workdir
-            (the paper's claim is the DELTA between these two arms).
+  stage1   : GAN_CYCLES PC-WGAN cycles (5 critic + 1 gen each), linear lr
+             decay over the budget; Wasserstein plateau is the health gate
+             (healthy ~|2-3|, see docs/BENCHMARKS.md).
+  cotrain  : ENC_ITERS encoder steps co-training on real u fake,
+             MAP milestones every eval_every steps.
+  realonly : same stage II with use_gan=False in a sibling workdir
+             (the paper's claim is the DELTA between these two arms).
 
-Usage (real chip; stage I ~1h + each stage-II arm ~1h at measured rates):
+SEGMENTED EXECUTION (why this script re-execs itself): the axon tunnel
+client leaks host memory per dispatch (~1.15x the transferred bytes;
+measured round 3 — a 100k-step run grew to 130 GB and was OOM-killed at
+step 74k; the same loop on the CPU backend is flat). Checkpoint resume is
+bit-exact incl. data order (tests/test_checkpoint.py), so the orchestrator
+(no jax import) runs each phase as child processes of <= SEGMENT_* iters:
+a child restores, advances one segment, checkpoints, and exits rc=3 if its
+phase target is not yet reached; rc=0 ends the phase.
+
+Usage (real chip; stage1 ~1h + each stage-II arm ~1h at measured rates):
   PYTHONPATH=/root/repo:$PYTHONPATH python scripts/run_config2_ref_horizon.py
-Env overrides: GAN_CYCLES, ENC_ITERS, SKIP_ABLATION=1.
-Artifacts land in runs/config2_ref_horizon/{cotrain,real_only}/.
+Env overrides: GAN_CYCLES, ENC_ITERS, SKIP_ABLATION=1, SEGMENT_GAN,
+SEGMENT_ENC, SMOKE=1 (tiny shapes, tunnel-free CPU rehearsal).
+Artifacts land in runs/config2_ref_horizon/{cotrain,real_only}/;
+summary.json merges the per-phase results.
 """
 
 from __future__ import annotations
@@ -28,21 +39,27 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
 GAN_CYCLES = int(os.environ.get("GAN_CYCLES", 40_000))
 ENC_ITERS = int(os.environ.get("ENC_ITERS", 100_000))
 SKIP_ABLATION = os.environ.get("SKIP_ABLATION", "") == "1"
+# Segment sizes: bound the leaked host memory per child process
+# (~1.15x wire bytes: 20k GAN cycles ~ 25 GB, 50k enc steps ~ 12 GB).
+SEGMENT_GAN = int(os.environ.get("SEGMENT_GAN", 20_000))
+SEGMENT_ENC = int(os.environ.get("SEGMENT_ENC", 50_000))
 # SMOKE=1: tiny shapes for a tunnel-free CPU rehearsal of the full flow.
 SMOKE = os.environ.get("SMOKE", "") == "1"
 ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "runs",
                  "config2_ref_horizon" + ("_smoke" if SMOKE else ""))
 )
+PHASES = ("stage1", "cotrain") + (() if SKIP_ABLATION else ("realonly",))
 
 
-def base_config():
+def base_config(arm: str):
     from hashgan_tpu.configs import get_config
 
     cfg = get_config("config2")
@@ -74,68 +91,114 @@ def base_config():
             eval=dataclasses.replace(cfg.eval, R=50),
             train=dataclasses.replace(
                 cfg.train, batch_size=16, eval_every=4, log_every=2,
-                checkpoint_every=8, sample_every=8),
+                checkpoint_every=4, sample_every=8),
+        )
+    if arm == "realonly":
+        cfg = dataclasses.replace(
+            cfg,
+            use_gan=False,
+            train=dataclasses.replace(
+                cfg.train, workdir=os.path.join(ROOT, "real_only"),
+                sample_every=1 << 30),
+        )
+    else:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, workdir=os.path.join(ROOT, "cotrain")),
         )
     return cfg
 
 
-def main() -> None:
+def _write_phase(phase: str, payload: dict) -> None:
+    os.makedirs(ROOT, exist_ok=True)
+    with open(os.path.join(ROOT, f"phase_{phase}.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+
+
+def run_phase_segment(phase: str) -> int:
+    """One child process: restore, advance <= one segment, checkpoint.
+    Returns 3 if the phase needs more segments, 0 when it is complete."""
+    import jax
+
     from hashgan_tpu.train.loop import Experiment
 
     t0 = time.time()
-    out = {"run": "config2_ref_horizon", "gan_cycles": GAN_CYCLES,
-           "enc_iters": ENC_ITERS}
-
-    # ---- stage I + stage II, co-training arm --------------------------
-    cfg = base_config()
-    cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(
-            cfg.train, workdir=os.path.join(ROOT, "cotrain")),
-    )
+    arm = "realonly" if phase == "realonly" else "cotrain"
+    cfg = base_config(arm)
     exp = Experiment(cfg)
-    print(f"[{time.time()-t0:.0f}s] stage I: {GAN_CYCLES} PC-WGAN cycles",
-          flush=True)
-    gan_means = exp.train_gan(GAN_CYCLES)
-    exp.save_checkpoint()
-    out["stage1_wall_s"] = time.time() - t0
-    out.update({f"gan_{k}": float(v) for k, v in gan_means.items()})
-    print(f"[{time.time()-t0:.0f}s] stage I done: "
-          f"{json.dumps({k: round(float(v), 4) for k, v in gan_means.items()})}",
-          flush=True)
+    exp.restore_checkpoint()
 
-    print(f"[{time.time()-t0:.0f}s] stage II (co-train): {ENC_ITERS} steps",
-          flush=True)
-    exp.train_encoder(ENC_ITERS)
+    if phase == "stage1":
+        step = int(jax.device_get(exp.gan_state.step))
+        run = min(GAN_CYCLES - step, SEGMENT_GAN)
+        if run > 0:
+            print(f"[stage1] cycles {step} -> {step + run} / {GAN_CYCLES}",
+                  flush=True)
+            means = exp.train_gan(run)
+            exp.save_checkpoint()
+            _write_phase(phase, {
+                "gan_cycles_done": step + run, "wall_s": time.time() - t0,
+                **{f"gan_{k}": float(v) for k, v in means.items()},
+            })
+        return 3 if step + max(run, 0) < GAN_CYCLES else 0
+
+    step = int(jax.device_get(exp.encoder_state.step))
+    run = min(ENC_ITERS - step, SEGMENT_ENC)
+    if run > 0:
+        print(f"[{phase}] encoder steps {step} -> {step + run} / {ENC_ITERS}",
+              flush=True)
+        exp.train_encoder(run)
+        exp.save_checkpoint()
+    if step + max(run, 0) < ENC_ITERS:
+        return 3
     final = exp.evaluate()
-    exp.save_checkpoint()
-    out.update({f"cotrain_{k}": float(v) for k, v in final.items()})
-    print(f"[{time.time()-t0:.0f}s] co-train arm done: "
+    _write_phase(phase, {
+        "enc_iters_done": ENC_ITERS, "wall_s": time.time() - t0,
+        **{k: float(v) for k, v in final.items()},
+    })
+    print(f"[{phase}] done: "
           f"{json.dumps({k: round(float(v), 4) for k, v in final.items()})}",
           flush=True)
+    return 0
 
-    # ---- stage II, real-only ablation arm -----------------------------
-    if not SKIP_ABLATION:
-        cfg2 = base_config()
-        cfg2 = dataclasses.replace(
-            cfg2,
-            use_gan=False,
-            train=dataclasses.replace(
-                cfg2.train, workdir=os.path.join(ROOT, "real_only"),
-                sample_every=1 << 30),
-        )
-        exp2 = Experiment(cfg2)
-        print(f"[{time.time()-t0:.0f}s] stage II (real-only ablation): "
-              f"{ENC_ITERS} steps", flush=True)
-        exp2.train_encoder(ENC_ITERS)
-        final2 = exp2.evaluate()
-        exp2.save_checkpoint()
-        out.update({f"real_only_{k}": float(v) for k, v in final2.items()})
 
-    out["wall_s"] = time.time() - t0
+def orchestrate() -> int:
+    """Parent process: no jax import (one axon process at a time — the
+    children own the tunnel). Runs each phase's segments serially."""
+    t0 = time.time()
+    env = dict(os.environ)
+    for phase in PHASES:
+        print(f"=== phase {phase} ===", flush=True)
+        while True:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), phase], env=env,
+            ).returncode
+            if rc == 0:
+                break
+            if rc != 3:
+                print(f"phase {phase} failed with rc={rc}", flush=True)
+                return rc
+    out = {"run": "config2_ref_horizon", "gan_cycles": GAN_CYCLES,
+           "enc_iters": ENC_ITERS, "wall_s": time.time() - t0}
+    for phase in PHASES:
+        try:
+            with open(os.path.join(ROOT, f"phase_{phase}.json")) as f:
+                rec = json.load(f)
+        except OSError:
+            continue
+        pre = {"stage1": "", "cotrain": "cotrain_",
+               "realonly": "real_only_"}[phase]
+        out.update({
+            (k if k.startswith("gan_") else pre + k): v
+            for k, v in rec.items() if k != "wall_s"
+        })
     print(json.dumps(out), flush=True)
     with open(os.path.join(ROOT, "summary.json"), "w") as f:
         json.dump(out, f, indent=2)
+    return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if len(sys.argv) > 1:
+        sys.exit(run_phase_segment(sys.argv[1]))
+    sys.exit(orchestrate())
