@@ -266,6 +266,35 @@ class Experiment:
             )
         return True, self._enc_step
 
+    def _saturation_guard(self, step: int, metrics) -> None:
+        """Warn (once) when the hash tanh has saturated to exact +-1.
+
+        Measured on-chip (round 2, docs/BENCHMARKS.md): from random init the
+        reference's 10x hash-lr multiplier drives AlexNet's code layer to
+        exact tanh saturation within ~100 steps — |code|=1 bit-for-bit, zero
+        gradient, unrecoverable; the loss then stays frozen while the run
+        burns its full budget. quantization == 0 together with
+        code_abs_mean ~= 1 is that state (a healthy run keeps a small
+        nonzero quantization gap throughout)."""
+        if getattr(self, "_saturation_warned", False):
+            return
+        q = metrics.get("quantization")
+        a = metrics.get("code_abs_mean")
+        if q is None or a is None:
+            return
+        if float(q) < 1e-7 and float(a) > 0.9999:
+            import warnings
+
+            self._saturation_warned = True
+            warnings.warn(
+                f"hash codes are exactly saturated at step {step} "
+                "(quantization ~ 0, |code| ~ 1): tanh gradients are zero and "
+                "training cannot recover. From-scratch runs must use "
+                "encoder.hash_lr_multiplier=1.0 (10x is the pretrained-"
+                "protocol setting); restart stage II from init.",
+                stacklevel=2,
+            )
+
     def _last_logged(self, key: str):
         """Last value of ``key`` in this workdir's metrics.jsonl (None if
         absent) — lets stage II sanity-check stage-I health without
@@ -325,7 +354,9 @@ class Experiment:
                 )
             host_step += 1
             if host_step % cfg.train.log_every == 0:
-                self.logger.log(host_step, jax.device_get(metrics))
+                host_metrics = jax.device_get(metrics)
+                self._saturation_guard(host_step, host_metrics)
+                self.logger.log(host_step, host_metrics)
                 means = self.logger.flush(host_step)
             if eval_during and host_step % cfg.train.eval_every == 0:
                 self.logger.log(host_step, self.evaluate())

@@ -71,6 +71,13 @@ def base_config(arm: str):
         encoder=dataclasses.replace(
             cfg.encoder, iters=ENC_ITERS, decay_lr=True,
             input_resize=227, resize_base=256,
+            # From-scratch protocol: the reference's 10x hash-lr multiplier
+            # assumes bvlc-pretrained conv towers; from random init it
+            # drives the hash tanh to exact saturation (zero grad,
+            # unrecoverable) within ~100 steps — measured on-chip round 2
+            # (docs/BENCHMARKS.md, models/alexnet.py). No pretrained npy is
+            # available offline, so train the whole net at 1x.
+            hash_lr_multiplier=1.0,
         ),
         gan=dataclasses.replace(cfg.gan, iters=GAN_CYCLES, ema_decay=0.999),
         train=dataclasses.replace(

@@ -317,3 +317,28 @@ def test_sharded_scan_jit_cache_reuses_compiled_fn():
         mesh, pq, grouped, canon_bg, valids, n=n, k=7,
         query_tile=4, col_block=16, interpret=True)
     assert len(ss._SHARD_FN_CACHE) == after + 1
+
+
+# ----------------------------------------------------------------------------
+# round-3 live-run finding: exact tanh saturation must warn, once
+# ----------------------------------------------------------------------------
+
+def test_saturation_guard_warns_once_and_only_when_saturated():
+    import types
+    import warnings
+
+    from hashgan_tpu.train.loop import Experiment
+
+    host = types.SimpleNamespace()
+    dead = {"quantization": 0.0, "code_abs_mean": 1.0}
+    healthy = {"quantization": 3e-4, "code_abs_mean": 0.98}
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Experiment._saturation_guard(host, 100, healthy)
+        assert len(w) == 0
+        Experiment._saturation_guard(host, 200, dead)
+        assert len(w) == 1 and "saturated" in str(w[0].message)
+        # warns once per experiment, not per log line
+        Experiment._saturation_guard(host, 300, dead)
+        assert len(w) == 1
