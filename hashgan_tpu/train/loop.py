@@ -528,26 +528,88 @@ class Experiment:
         self.ckpt.save(step, jax.device_get(self._ckpt_state()))
 
     def restore_checkpoint(self) -> bool:
+        """Restore the latest checkpoint, migrating across known
+        state-template changes:
+
+        - ``g_ema_stats``: checkpoints written before GanState gained the
+          subtree restore without it; the EMA stats are then seeded from
+          the restored live stats (the closest available estimate).
+        - encoder ``hash_lr_multiplier`` 1 <-> !=1: the optax chain
+          STRUCTURE differs (plain adam vs chain(adam, masked(scale)),
+          train/state.py::make_encoder_tx), so StandardRestore rejects the
+          cross template. The extra chain states are empty, so the Adam
+          moments map across bit-exactly: restore with the alternate
+          structure, then re-wrap/unwrap the adam state.
+        """
         template = jax.device_get(self._ckpt_state())
-        try:
-            restored = self.ckpt.restore(template)
-        except (KeyError, ValueError, TypeError):
-            # Migration: checkpoints written before GanState gained
-            # g_ema_stats lack that subtree and StandardRestore rejects the
-            # wider template. Retry without it, then seed the EMA stats from
-            # the restored live stats (the closest available estimate).
-            if "gan" not in template or template["gan"].g_ema_stats is None:
-                raise
-            template["gan"] = template["gan"].replace(g_ema_stats=None)
-            restored = self.ckpt.restore(template)
-            if restored is not None and restored["gan"].g_ema_stats is None:
-                restored["gan"] = restored["gan"].replace(
-                    g_ema_stats=jax.tree_util.tree_map(
-                        lambda x: x.copy(), restored["gan"].g_stats
-                    )
-                )
+
+        def _drop_ema(t):
+            if t is None or "gan" not in t or t["gan"].g_ema_stats is None:
+                return None
+            t = dict(t)
+            t["gan"] = t["gan"].replace(g_ema_stats=None)
+            return t
+
+        def _alt_enc_opt(t):
+            import dataclasses as _dc
+
+            from hashgan_tpu.train.state import make_encoder_tx
+
+            cur = self.cfg.encoder.hash_lr_multiplier
+            alt_cfg = _dc.replace(
+                self.cfg.encoder,
+                hash_lr_multiplier=(10.0 if cur == 1.0 else 1.0),
+            )
+            alt_opt = jax.device_get(
+                make_encoder_tx(alt_cfg).init(t["encoder"].params)
+            )
+            t = dict(t)
+            t["encoder"] = t["encoder"].replace(opt_state=alt_opt)
+            return t
+
+        variants = [(template, False, False)]
+        ema_t = _drop_ema(template)
+        if ema_t is not None:
+            variants.append((ema_t, True, False))
+        opt_t = _alt_enc_opt(template)
+        variants.append((opt_t, False, True))
+        ema_opt_t = _drop_ema(opt_t)
+        if ema_opt_t is not None:
+            variants.append((ema_opt_t, True, True))
+
+        restored = None
+        err = None
+        fixed_ema = fixed_opt = False
+        for tmpl, fix_ema, fix_opt in variants:
+            try:
+                restored = self.ckpt.restore(tmpl)
+                fixed_ema, fixed_opt = fix_ema, fix_opt
+                err = None
+                break
+            except (KeyError, ValueError, TypeError) as e:
+                err = e
+        if err is not None:
+            raise err
         if restored is None:
             return False
+        if fixed_ema and restored["gan"].g_ema_stats is None:
+            restored["gan"] = restored["gan"].replace(
+                g_ema_stats=jax.tree_util.tree_map(
+                    lambda x: x.copy(), restored["gan"].g_stats
+                )
+            )
+        if fixed_opt:
+            enc = restored["encoder"]
+            if self.cfg.encoder.hash_lr_multiplier == 1.0:
+                # saved chain(adam, masked(scale)) -> plain adam moments
+                enc = enc.replace(opt_state=enc.opt_state[0])
+            else:
+                # saved plain adam -> wrap with the (empty) masked state
+                fresh = template["encoder"].opt_state
+                enc = enc.replace(
+                    opt_state=(enc.opt_state,) + tuple(fresh[1:])
+                )
+            restored["encoder"] = enc
         self.encoder_state = restored["encoder"]
         if self.gan_state is not None and "gan" in restored:
             self.gan_state = restored["gan"]

@@ -342,3 +342,49 @@ def test_saturation_guard_warns_once_and_only_when_saturated():
         # warns once per experiment, not per log line
         Experiment._saturation_guard(host, 300, dead)
         assert len(w) == 1
+
+
+# ----------------------------------------------------------------------------
+# round-3 live-run finding #2: hash_lr_multiplier 1 <-> !=1 changes the optax
+# chain structure; restore must migrate, carrying Adam moments bit-exactly
+# ----------------------------------------------------------------------------
+
+def test_restore_migrates_across_hash_lr_multiplier_structures(tmp_path):
+    import numpy as np
+
+    from hashgan_tpu.configs import get_config
+    from hashgan_tpu.train.loop import Experiment
+
+    def cfg_with(mult):
+        cfg = get_config("config1")
+        return dc.replace(
+            cfg,
+            data=dc.replace(cfg.data, n_train=48, n_query=16, n_database=48),
+            encoder=dc.replace(cfg.encoder, hash_lr_multiplier=mult),
+            train=dc.replace(cfg.train, batch_size=8, workdir=str(tmp_path)),
+        )
+
+    a = Experiment(cfg_with(10.0))
+    a.train_encoder(2, eval_during=False)
+    a.save_checkpoint()
+
+    b = Experiment(cfg_with(1.0))
+    assert b.restore_checkpoint()
+    assert int(jax.device_get(b.encoder_state.step)) == 2
+    # chain(adam, masked(scale)) state [0] IS the plain adam state
+    m_a = jax.tree_util.tree_leaves(a.encoder_state.opt_state[0])
+    m_b = jax.tree_util.tree_leaves(b.encoder_state.opt_state)
+    assert len(m_a) == len(m_b)
+    for x, y in zip(m_a, m_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # and back: plain adam -> wrapped chain
+    b.train_encoder(1, eval_during=False)
+    b.save_checkpoint()
+    c = Experiment(cfg_with(10.0))
+    assert c.restore_checkpoint()
+    assert int(jax.device_get(c.encoder_state.step)) == 3
+    m_c = jax.tree_util.tree_leaves(c.encoder_state.opt_state[0])
+    m_b2 = jax.tree_util.tree_leaves(b.encoder_state.opt_state)
+    for x, y in zip(m_b2, m_c):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
