@@ -321,6 +321,26 @@ class Experiment:
     ) -> Dict[str, float]:
         cfg = self.cfg
         iters = iters if iters is not None else cfg.encoder.iters
+        if (
+            cfg.encoder.arch == "alexnet"
+            and not cfg.encoder.pretrained_npy
+            and cfg.encoder.hash_lr_multiplier != 1.0
+            and int(jax.device_get(self.encoder_state.step)) == 0
+        ):
+            import warnings
+
+            # Measured on-chip twice (rounds 2 and 3, docs/BENCHMARKS.md):
+            # this combination saturates the hash tanh within ~100 steps.
+            warnings.warn(
+                "training AlexNet from random init with "
+                f"hash_lr_multiplier={cfg.encoder.hash_lr_multiplier:g}: "
+                "the 10x multiplier is the bvlc-pretrained protocol and "
+                "drives from-scratch runs to exact tanh saturation (zero "
+                "gradient) within ~100 steps. Set "
+                "encoder.hash_lr_multiplier=1.0 or provide "
+                "encoder.pretrained_npy.",
+                stacklevel=2,
+            )
         use_gan, step_fn = self._stage2_guard()
         it = BatchIterator(
             self.splits["train"], cfg.train.batch_size, seed=cfg.train.seed + 1,

@@ -388,3 +388,27 @@ def test_restore_migrates_across_hash_lr_multiplier_structures(tmp_path):
     m_b2 = jax.tree_util.tree_leaves(b.encoder_state.opt_state)
     for x, y in zip(m_b2, m_c):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_from_scratch_alexnet_10x_warns_before_training(tmp_path):
+    import warnings
+
+    from hashgan_tpu.configs import get_config
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = get_config("config3")  # alexnet, multiplier 10, no pretrained npy
+    cfg = dc.replace(
+        cfg,
+        use_gan=False,
+        data=dc.replace(cfg.data, n_train=32, n_query=8, n_database=32,
+                        image_size=16),
+        encoder=dc.replace(cfg.encoder, input_resize=67, resize_base=72),
+        train=dc.replace(cfg.train, batch_size=8, workdir=str(tmp_path),
+                         log_every=1000, eval_every=1 << 30,
+                         checkpoint_every=1 << 30),
+    )
+    exp = Experiment(cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        exp.train_encoder(1, eval_during=False)
+    assert any("tanh saturation" in str(x.message) for x in w)
