@@ -198,21 +198,31 @@ def run_bench(
 
     k_large = min(5000, n)
 
-    def scan_large(pq=packed_q, mode="exact"):
+    def scan_large(pq=packed_q, mode="exact", select="twolevel"):
         return mxu_topk_large(
             pq, gallery_g, canon_bg, valid_n=n, k=k_large, mode=mode,
+            select=select,
         )
 
-    dt_large_dev = _time_amortized(
-        lambda pq: scan_large(pq)[0].sum().astype(jnp.float32),
-        qs, iters=iters,
-    )
+    # Selection sweep: top_k-based twolevel vs value-only-sort sortdecode
+    # (composite keys are self-identifying, so the sort carries no index
+    # payload). Report both; the headline large-k number takes the winner.
+    dt_large_by_select = {
+        sel: _time_amortized(
+            lambda pq, sel=sel: scan_large(pq, select=sel)[0].sum().astype(
+                jnp.float32),
+            qs, iters=iters,
+        )
+        for sel in ("twolevel", "sortdecode")
+    }
+    large_select_best = min(dt_large_by_select, key=dt_large_by_select.get)
+    dt_large_dev = dt_large_by_select[large_select_best]
     # Witness: (a) FULL batch — the top-k prefix must equal the already
     # fully-verified k=100 engine; (b) a 64-query sort-engine comparison at
     # the full k=5000 depth (the full-batch sort at k=5000 would take
     # minutes on the 0.55e9 baseline engine; depth exactness incl.
     # adversarial ties is property-tested in tests/test_mxu_large_k.py).
-    il = np.asarray(scan_large()[1])
+    il = np.asarray(scan_large(select=large_select_best)[1])
     large_prefix_match = bool((il[:, :k] == im).all())
     vq = min(64, q)
     _, ie5 = hamming_scan_topk(
@@ -254,6 +264,9 @@ def run_bench(
             "k_large": k_large,
             "seconds_largek_exact_device": dt_large_dev,
             "largek_cmp_per_sec": float(comparisons / dt_large_dev),
+            "largek_select_best": large_select_best,
+            "largek_seconds_by_select": {
+                k_: float(v) for k_, v in dt_large_by_select.items()},
             "largek_matches_sort_exact_64q": large_match,
             "largek_prefix_matches_k100_full_batch": large_prefix_match,
             "scaling_4m": scaling_detail,

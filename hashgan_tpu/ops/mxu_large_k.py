@@ -31,7 +31,11 @@ items) to SUBGROUPS of ``sigma`` (default 16) consecutive sublanes:
   538 ms, vmapped searchsorted 1612 ms — XLA scatters serialize), while
   lax.top_k over the same array is 114 ms and returns sorted keys for
   free. So ``twolevel`` is the default; ``radix`` stays as the documented
-  negative result.
+  negative result. ``sortdecode`` exploits that composite keys are
+  self-identifying (key % stride = global item index): a VALUE-ONLY
+  lax.sort replaces top_k's variadic key+iota sort (half the bytes
+  through the sort network) and winner identities decode arithmetically
+  from the sorted keys.
 
 Total order is the same oracle contract: (distance asc, database index
 asc); composite keys d*stride + idx are globally distinct, padding slots
@@ -305,6 +309,14 @@ def mxu_topk_large(
     hi = (bits + 1) * stride + n_total
     if select == "twolevel":
         _, us = _twolevel_topk_min(full, m_win)
+    elif select == "sortdecode":
+        # Value-only sort: composite keys are DISTINCT and self-identifying
+        # (key % stride is the global item index), so the winner positions
+        # decode arithmetically and the sort never carries an index payload
+        # (lax.top_k's variadic key+iota sort moves 2x the bytes).
+        top1 = jax.lax.sort(full, dimension=1, is_stable=False)[:, :m_win]
+        i1 = top1 % stride                    # global item idx = s*C + col
+        us = (i1 // c // sigma) * c + i1 % c  # subgroup row j*C + col
     else:
         tau_w = count_select_threshold(full, m_win, hi)
         us = _compact_masked(
@@ -319,6 +331,8 @@ def mxu_topk_large(
     )                                                    # (Q, m_win*sigma)
     if select == "twolevel":
         final, _ = _twolevel_topk_min(rescan, kk)
+    elif select == "sortdecode":
+        final = jax.lax.sort(rescan, dimension=1, is_stable=False)[:, :kk]
     else:
         tau_f = count_select_threshold(rescan, kk, hi)
         packed_keys = _compact_masked(

@@ -423,6 +423,11 @@ def sharded_mxu_topk_large(
             packed_keys = _compact_masked(key, key <= tau[:, None], k_out)
             merged = jnp.sort(packed_keys, axis=1)
             pos = merged % jnp.int32(n_cand)
+        elif mode == "exact" and select == "sortdecode":
+            # (d, position) merge keys are distinct + self-identifying:
+            # value-only sort, decode the candidate position arithmetically.
+            merged = jax.lax.sort(key, dimension=1, is_stable=False)[:, :k_out]
+            pos = merged % jnp.int32(n_cand)
         else:
             _, pos = jax.lax.top_k(-key, k_out)
         d_out = jnp.take_along_axis(cat_d, pos, axis=1)

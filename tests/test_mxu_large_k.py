@@ -38,6 +38,7 @@ def _oracle_check(d, i, pq, packed, k):
 
 @pytest.mark.parametrize("select,compact", [
     ("radix", "scatter"), ("radix", "searchsorted"), ("twolevel", "scatter"),
+    ("sortdecode", "scatter"),
 ])
 @pytest.mark.parametrize("bits,n,q,k,sigma", [
     (32, 8192, 4, 1000, 2),
@@ -56,7 +57,7 @@ def test_large_k_matches_oracle(bits, n, q, k, sigma, select, compact):
     _oracle_check(d, i, pq, packed, k)
 
 
-@pytest.mark.parametrize("select", ["radix", "twolevel"])
+@pytest.mark.parametrize("select", ["radix", "twolevel", "sortdecode"])
 def test_large_k_adversarial_ties(select):
     """Near-total tie mass: thousands of items share each distance, so the
     index tie-break carries the whole ordering."""
@@ -218,8 +219,10 @@ def test_gallery_routes_large_k_sharded(monkeypatch):
     _oracle_check(d, i, jnp.asarray(pq), pack_codes_np(codes), k)
 
 
-@pytest.mark.parametrize("n_dev", [1, 2, 8])
-def test_sharded_large_k_matches_single_chip(n_dev):
+@pytest.mark.parametrize("n_dev,select", [(1, "twolevel"), (2, "twolevel"),
+                                          (8, "twolevel"), (2, "sortdecode"),
+                                          (8, "sortdecode")])
+def test_sharded_large_k_matches_single_chip(n_dev, select):
     """Sharded subgroup-min engine: bit-identical to the oracle at mesh
     sizes 1/2/8, k past the per-shard valid counts (sentinel merge)."""
     from hashgan_tpu.parallel import make_mesh
@@ -239,6 +242,6 @@ def test_sharded_large_k_matches_single_chip(n_dev):
     )
     d, i = sharded_mxu_topk_large(
         mesh, pq, grouped, canon_bg, valids, n=n, k=k, sigma=2,
-        query_tile=8, col_block=16, interpret=True,
+        query_tile=8, col_block=16, interpret=True, select=select,
     )
     _oracle_check(d, i, pq, packed, k)
