@@ -11,6 +11,7 @@ role of the reference's real datasets in its own end-to-end sanity runs.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -111,12 +112,75 @@ def make_synthetic(
     return ds, templates
 
 
+_SPLITS = ("train", "query", "database")
+
+
+def _synth_cache_dir(cfg: DataConfig) -> Optional[str]:
+    """Cache directory for this generation geometry, or None if disabled.
+
+    The dev host's single vCPU is ~100x slower than a normal core at bulk
+    numpy work (measured round 3: 17 s for 12M f32 normals, 70 s for a
+    245 MB fancy-index gather), so regenerating a 50k-image split costs
+    tens of minutes — and the segmented ref-horizon runners
+    (scripts/run_config{2,4}_ref_horizon.py) pay it once per child process.
+    Generation is a pure function of the keyed fields, so a disk cache is
+    bit-exact by construction. Opt out with HASHGAN_SYNTH_CACHE=off."""
+    import os
+
+    root = os.environ.get("HASHGAN_SYNTH_CACHE", "")
+    if root.lower() in ("off", "0", "none"):
+        return None
+    if not root:
+        root = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "..", "runs",
+            "synth_cache",
+        )
+    key = (
+        f"v1_{cfg.image_size}x{cfg.channels}_c{cfg.n_classes}"
+        f"_ml{int(cfg.multi_label)}_ns{cfg.noise_scale:g}_s{cfg.seed}"
+        f"_n{cfg.n_train}-{cfg.n_query}-{cfg.n_database}"
+    )
+    return os.path.join(os.path.abspath(root), key)
+
+
+def _load_cached_splits(path: str) -> Dict[str, SyntheticImageDataset]:
+    templates = np.load(os.path.join(path, "templates.npy"))
+    return {
+        split: SyntheticImageDataset(
+            images=np.load(os.path.join(path, f"{split}_images.npy")),
+            labels=np.load(os.path.join(path, f"{split}_labels.npy")),
+            templates=templates,
+        )
+        for split in _SPLITS
+    }
+
+
+def _save_cached_splits(
+    path: str, out: Dict[str, SyntheticImageDataset]
+) -> None:
+    """Atomic-ish publish: write to a pid-suffixed tmp dir, rename into
+    place, and treat a concurrent winner as success."""
+    tmp = f"{path}.tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    np.save(os.path.join(tmp, "templates.npy"), out["train"].templates)
+    for split in _SPLITS:
+        np.save(os.path.join(tmp, f"{split}_images.npy"), out[split].images)
+        np.save(os.path.join(tmp, f"{split}_labels.npy"), out[split].labels)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
     """Build train/query/database splits.
 
     If reference-style list files are configured and exist on disk, they are
     loaded (images decoded via PIL); otherwise synthetic splits sharing class
-    templates are generated.
+    templates are generated (with a bit-exact disk cache — see
+    _synth_cache_dir).
     """
     import os
 
@@ -147,6 +211,9 @@ def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
         return {split: load_list_dataset(path, cfg)
                 for (split, _), path in lists.items()}
 
+    cache = _synth_cache_dir(cfg)
+    if cache and os.path.exists(os.path.join(cache, "database_labels.npy")):
+        return _load_cached_splits(cache)
     templates = None
     out: Dict[str, SyntheticImageDataset] = {}
     for split, n, seed_off in (
@@ -165,4 +232,6 @@ def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
             templates=templates,
         )
         out[split] = ds
+    if cache:
+        _save_cached_splits(cache, out)
     return out

@@ -12,7 +12,13 @@ JAX_PLATFORMS env var — so this conftest must override the *config* after
 import, before any backend is initialized.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Tests generate many tiny synthetic datasets; keep them out of the
+# run-scale disk cache (tests that exercise the cache use tmp_path).
+os.environ["HASHGAN_SYNTH_CACHE"] = "off"

@@ -94,3 +94,38 @@ def test_pair_balanced_is_step_pure_for_resume():
     ib, lb = next(b)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_array_equal(la, lb)
+
+
+def test_synth_cache_roundtrip_bit_exact(tmp_path, monkeypatch):
+    """Disk-cached splits are bit-identical to fresh generation, and the
+    second make_splits call must hit the cache (generation is patched to
+    explode after the first call)."""
+    import hashgan_tpu.data.synthetic as syn
+
+    monkeypatch.setenv("HASHGAN_SYNTH_CACHE", str(tmp_path / "cache"))
+    cfg = DataConfig(n_train=24, n_query=8, n_database=40, n_classes=4,
+                     image_size=16)
+    fresh = make_splits(cfg)
+    assert (tmp_path / "cache").exists()
+
+    def boom(*a, **k):
+        raise AssertionError("cache miss: make_synthetic re-invoked")
+
+    monkeypatch.setattr(syn, "make_synthetic", boom)
+    cached = make_splits(cfg)
+    for split in ("train", "query", "database"):
+        np.testing.assert_array_equal(cached[split].images,
+                                      fresh[split].images)
+        np.testing.assert_array_equal(cached[split].labels,
+                                      fresh[split].labels)
+    np.testing.assert_array_equal(cached["train"].templates,
+                                  fresh["train"].templates)
+
+    # A different geometry must NOT hit the same cache entry (it reaches the
+    # patched generator and explodes).
+    import pytest
+
+    cfg2 = DataConfig(n_train=24, n_query=8, n_database=41, n_classes=4,
+                      image_size=16)
+    with pytest.raises(AssertionError, match="cache miss"):
+        make_splits(cfg2)
