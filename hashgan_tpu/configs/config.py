@@ -111,6 +111,12 @@ class TrainConfig:
     crop_pad: int = 0                     # pad-and-random-crop aug (0 = off)
     prefetch: int = 2                     # batches in flight host->device
     epoch_shuffle: bool = False           # without-replacement epoch sampling
+    # Device-resident data: park the train split in HBM and gather batches
+    # in-jit (data/device_data.py) — no per-step wire traffic or host
+    # gather. Step-pure and resume-exact WITHIN this mode; the host and
+    # device pipelines define different (each deterministic) data orders,
+    # so a run must keep the pipeline it started with.
+    device_data: bool = False
     # Stage-II batch policy: "random" | "balanced" (label-conditioned pair
     # sampling — BASELINE config 3's guarantee of positive pairs per batch).
     pair_sampling: str = "random"

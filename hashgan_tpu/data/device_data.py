@@ -1,0 +1,179 @@
+"""Device-resident training data: HBM-resident splits + in-jit batch gather.
+
+The host pipeline (data/pipeline.py) mirrors the reference's feed
+boundary (SURVEY.md §3.5 ``feed_dict``): numpy gathers a batch, the
+batch crosses the wire every step. That design pays twice on this
+platform (both measured, docs/BENCHMARKS.md round 3):
+
+- the axon tunnel client leaks host memory per TRANSFERRED BYTE
+  (~1.15x wire bytes) — a 100k-step run leaked 130 GB and was OOM-killed,
+  forcing segmented execution;
+- the dev host's single vCPU is ~100x slower than a normal core at bulk
+  numpy, so the per-step host gather stalls the device (prefetch is a
+  generator, not a thread — it cannot hide host latency).
+
+The TPU-native answer: park the whole split in HBM once (uint8 images —
+config4's 50k x 64px database is 614 MB, far under one chip's HBM) and
+gather batches ON DEVICE inside one jitted function whose only wire
+traffic is the step counter. Sampling is a pure function of
+(seed, step) via the JAX PRNG (fold_in), so checkpoint resume replays the
+exact data order — the same step-purity contract as the host pipeline
+(tests/test_checkpoint.py), with a different (but equally deterministic)
+order: the two pipelines are order-compatible only with themselves, so a
+run must keep the pipeline it started with.
+
+Epoch-shuffle mode reproduces the reference's shuffle-per-epoch protocol:
+a per-epoch ``jax.random.permutation`` (recomputed in-jit — sorting ~13k
+keys on-device costs microseconds, so statelessness is free), consumed in
+batch_size slices, ragged remainder dropped — the host pipeline's exact
+epoch semantics.
+
+``pair_balanced`` sampling (BASELINE config 3) stays host-side: it walks
+ragged per-class pools; use the host pipeline for it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hashgan_tpu.data.synthetic import SyntheticImageDataset
+
+
+class DeviceBatchSource:
+    """Device-resident split yielding step-pure batches without host I/O.
+
+    Yields the same structures the train loops consume:
+    ``n_batches=1``: (images (B,H,W,C) u8, labels (B,K) f32);
+    ``n_batches>1`` (the fused GAN cycle's critic+gen stack):
+    ((n_batches,B,H,W,C), (n_batches,B,K)).
+
+    ``sharding``: optional NamedSharding for the yielded batch (e.g. batch
+    dim over the mesh's data axis); the resident split itself is placed
+    replicated so every device can gather any row.
+    """
+
+    def __init__(
+        self,
+        dataset: SyntheticImageDataset,
+        batch_size: int,
+        seed: int = 0,
+        epoch_shuffle: bool = False,
+        n_batches: int = 1,
+        sharding=None,
+        mesh=None,
+    ):
+        self.n = len(dataset)
+        self.batch_size = batch_size
+        self.n_batches = n_batches
+        self.seed = seed
+        self.epoch_shuffle = epoch_shuffle
+        total = batch_size * n_batches
+        if mesh is not None:
+            # Replicate the split so per-device gathers need no collective.
+            rep = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            )
+            self.images = jax.device_put(dataset.images, rep)
+            self.labels = jax.device_put(dataset.labels, rep)
+        else:
+            self.images = jax.device_put(dataset.images)
+            self.labels = jax.device_put(dataset.labels)
+
+        n = self.n
+        bpe = n // total  # full batches per epoch (ragged remainder dropped)
+        use_epoch = epoch_shuffle and bpe >= 1
+
+        def fetch(images, labels, step):
+            if use_epoch:
+                epoch = step // bpe
+                pos = step % bpe
+                perm = jax.random.permutation(
+                    jax.random.fold_in(jax.random.key(seed ^ 0xE70C), epoch),
+                    n,
+                )
+                idx = jax.lax.dynamic_slice(perm, (pos * total,), (total,))
+            else:
+                idx = jax.random.randint(
+                    jax.random.fold_in(jax.random.key(seed ^ 0xD47A), step),
+                    (total,), 0, n,
+                )
+            imgs = jnp.take(images, idx, axis=0)
+            labs = jnp.take(labels, idx, axis=0)
+            if n_batches > 1:
+                imgs = imgs.reshape((n_batches, batch_size) + imgs.shape[1:])
+                labs = labs.reshape(n_batches, batch_size, -1)
+            return imgs, labs
+
+        self._fetch = jax.jit(
+            fetch,
+            out_shardings=None if sharding is None else (sharding, sharding),
+        )
+
+    def batch(self, step: int):
+        """Device batch for ``step`` — pure in (seed, step)."""
+        return self._fetch(self.images, self.labels, np.int32(step))
+
+    def iter(self, start_step: int = 0) -> Iterator[Tuple]:
+        step = start_step
+        while True:
+            out = self.batch(step)
+            step += 1
+            yield out
+
+
+def make_batch_feed(
+    dataset: SyntheticImageDataset,
+    cfg,
+    start_step: int,
+    seed: int,
+    n_batches: int = 1,
+    mesh=None,
+    batch_sharding=None,
+    pair_balanced: bool = False,
+):
+    """One switch for the train loops: device-resident feed when
+    ``cfg.train.device_data`` (and the mode supports it), else the host
+    BatchIterator + prefetch_to_device path."""
+    from hashgan_tpu.data.pipeline import BatchIterator, prefetch_to_device
+
+    if cfg.train.device_data and not pair_balanced:
+        src = DeviceBatchSource(
+            dataset, cfg.train.batch_size, seed=seed,
+            epoch_shuffle=cfg.train.epoch_shuffle, n_batches=n_batches,
+            sharding=batch_sharding, mesh=mesh,
+        )
+        return src.iter(start_step)
+    if cfg.train.device_data and pair_balanced:
+        import warnings
+
+        warnings.warn(
+            "device_data does not support pair_balanced sampling "
+            "(ragged per-class pools); using the host pipeline.",
+            stacklevel=2,
+        )
+    it = BatchIterator(
+        dataset, cfg.train.batch_size * n_batches, seed=seed,
+        start_step=start_step, epoch_shuffle=cfg.train.epoch_shuffle,
+        pair_balanced=pair_balanced,
+    )
+    if n_batches > 1:
+        b = cfg.train.batch_size
+
+        def stacked():
+            for imgs, labs in it:
+                yield (
+                    imgs.reshape((n_batches, b) + imgs.shape[1:]),
+                    labs.reshape(n_batches, b, -1),
+                )
+
+        stream = stacked()
+    else:
+        stream = it
+    return prefetch_to_device(
+        stream, size=max(1, cfg.train.prefetch), sharding=batch_sharding
+    )

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hashgan_tpu.configs import Config
-from hashgan_tpu.data import BatchIterator, make_splits
-from hashgan_tpu.data.pipeline import prefetch_to_device
+from hashgan_tpu.data import make_splits
+from hashgan_tpu.data.device_data import make_batch_feed
 from hashgan_tpu.index import PackedGallery, build_gallery
 from hashgan_tpu.models import Discriminator, Generator, build_encoder
 from hashgan_tpu.ops.pack import pack_codes
@@ -114,33 +114,24 @@ class Experiment:
         cfg = self.cfg
         iters = iters if iters is not None else cfg.gan.iters
         n_batches = cfg.gan.n_critic + 1
-        it = BatchIterator(
-            self.splits["train"], cfg.train.batch_size * n_batches,
-            seed=cfg.train.seed, start_step=int(jax.device_get(self.gan_state.step)),
-            epoch_shuffle=cfg.train.epoch_shuffle,
-        )
         rng = self._rng_seed
-        b = cfg.train.batch_size
         means: Dict[str, float] = {}
 
-        def stacked():
-            for imgs, labs in it:
-                yield (
-                    imgs.reshape((n_batches, b) + imgs.shape[1:]),
-                    labs.reshape(n_batches, b, -1),
-                )
-
-        # Double-buffered host->device prefetch: batch t+1's transfer
-        # overlaps batch t's compute (the rebuild's answer to the
-        # reference's per-step feed_dict stall; data/pipeline.py).
+        # Feed: device-resident in-jit gather (cfg.train.device_data — no
+        # per-step wire traffic or host gather) or double-buffered
+        # host->device prefetch (the rebuild's answer to the reference's
+        # per-step feed_dict stall; data/pipeline.py, data/device_data.py).
         sharding = None
         if self.mesh is not None:
             # batch dim 1 is the per-device batch: shard it.
             sharding = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec(None, "data")
             )
-        batches = prefetch_to_device(
-            stacked(), size=max(1, cfg.train.prefetch), sharding=sharding
+        batches = make_batch_feed(
+            self.splits["train"], cfg,
+            start_step=int(jax.device_get(self.gan_state.step)),
+            seed=cfg.train.seed, n_batches=n_batches, mesh=self.mesh,
+            batch_sharding=sharding,
         )
         # Host-side step mirror: device_get forces a host<->device round
         # trip, which on a remote-tunnel platform costs ~100ms — syncing
@@ -342,12 +333,6 @@ class Experiment:
                 stacklevel=2,
             )
         use_gan, step_fn = self._stage2_guard()
-        it = BatchIterator(
-            self.splits["train"], cfg.train.batch_size, seed=cfg.train.seed + 1,
-            start_step=int(jax.device_get(self.encoder_state.step)),
-            epoch_shuffle=cfg.train.epoch_shuffle,
-            pair_balanced=(cfg.train.pair_sampling == "balanced"),
-        )
         rng = self._rng_seed
         means: Dict[str, float] = {}
         sharding = (
@@ -357,8 +342,11 @@ class Experiment:
             if self.mesh is not None
             else None
         )
-        batches = prefetch_to_device(
-            it, size=max(1, cfg.train.prefetch), sharding=sharding
+        batches = make_batch_feed(
+            self.splits["train"], cfg,
+            start_step=int(jax.device_get(self.encoder_state.step)),
+            seed=cfg.train.seed + 1, mesh=self.mesh, batch_sharding=sharding,
+            pair_balanced=(cfg.train.pair_sampling == "balanced"),
         )
         host_step = int(jax.device_get(self.encoder_state.step))  # see train_gan
         for _ in range(iters):

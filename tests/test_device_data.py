@@ -1,0 +1,146 @@
+"""Device-resident data feed (data/device_data.py): step purity, epoch
+partition semantics, mesh sharding, and resume-exact training integration."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hashgan_tpu.configs import (
+    Config, DataConfig, EncoderConfig, GanConfig, TrainConfig,
+)
+from hashgan_tpu.data.device_data import DeviceBatchSource, make_batch_feed
+from hashgan_tpu.data.synthetic import SyntheticImageDataset
+
+
+def _indexed_dataset(n: int, size: int = 8) -> SyntheticImageDataset:
+    """Labels are the identity matrix, so argmax(labels) recovers the
+    gathered row index."""
+    rng = np.random.default_rng(0)
+    return SyntheticImageDataset(
+        images=rng.integers(0, 256, size=(n, size, size, 3), dtype=np.uint8),
+        labels=np.eye(n, dtype=np.float32),
+    )
+
+
+def test_step_purity_and_iter_consistency():
+    ds = _indexed_dataset(40)
+    src = DeviceBatchSource(ds, batch_size=8, seed=3)
+    a0, l0 = src.batch(5)
+    a1, l1 = src.batch(5)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    # iter(start) must replay batch(start), batch(start+1), ...
+    it = src.iter(start_step=7)
+    for step in (7, 8, 9):
+        imgs, labs = next(it)
+        ref_imgs, ref_labs = src.batch(step)
+        np.testing.assert_array_equal(np.asarray(imgs), np.asarray(ref_imgs))
+        np.testing.assert_array_equal(np.asarray(labs), np.asarray(ref_labs))
+
+
+def test_epoch_shuffle_partitions_dataset():
+    """Within one epoch the batches are disjoint (without replacement) and
+    cover bpe * batch_size distinct rows; epochs reshuffle."""
+    n, b = 37, 8
+    ds = _indexed_dataset(n)
+    src = DeviceBatchSource(ds, batch_size=b, seed=1, epoch_shuffle=True)
+    bpe = n // b
+    seen = []
+    for step in range(bpe):
+        _, labs = src.batch(step)
+        seen.extend(np.argmax(np.asarray(labs), axis=1).tolist())
+    assert len(seen) == bpe * b
+    assert len(set(seen)) == bpe * b  # no within-epoch repeats
+    _, labs2 = src.batch(bpe)  # first batch of epoch 1
+    epoch1 = np.argmax(np.asarray(labs2), axis=1).tolist()
+    assert epoch1 != seen[:b]  # reshuffled (astronomically unlikely equal)
+
+
+def test_stacked_gan_batches_shape():
+    ds = _indexed_dataset(64, size=4)
+    src = DeviceBatchSource(ds, batch_size=4, seed=0, n_batches=3)
+    imgs, labs = src.batch(0)
+    assert imgs.shape == (3, 4, 4, 4, 3)
+    assert labs.shape == (3, 4, 64)
+
+
+def test_mesh_sharded_feed():
+    from hashgan_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    ds = _indexed_dataset(64, size=4)
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data"))
+    src = DeviceBatchSource(ds, batch_size=16, seed=0, sharding=sharding,
+                            mesh=mesh)
+    imgs, _ = src.batch(0)
+    assert imgs.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def _tiny_cfg(workdir: str, device_data: bool) -> Config:
+    return Config(
+        data=DataConfig(n_train=48, n_query=8, n_database=32, n_classes=4,
+                        image_size=8),
+        gan=GanConfig(dim=8, z_dim=8, n_critic=2, iters=2,
+                      compute_dtype="float32"),
+        encoder=EncoderConfig(arch="small_cnn", bits=16, iters=6,
+                              compute_dtype="float32"),
+        train=TrainConfig(batch_size=8, log_every=100, eval_every=10_000,
+                          checkpoint_every=10_000, sample_every=10_000,
+                          epoch_shuffle=True, device_data=device_data,
+                          workdir=workdir),
+        use_gan=False,
+    )
+
+
+def test_device_data_training_resume_bit_exact(tmp_path):
+    """Kill/restart at step 3 of 6 must reproduce the uninterrupted run's
+    params exactly (step-pure device sampling)."""
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg_a = _tiny_cfg(str(tmp_path / "a"), device_data=True)
+    exp_a = Experiment(cfg_a)
+    exp_a.train_encoder(iters=6, eval_during=False)
+    p_a = jax.device_get(exp_a.encoder_state.params)
+
+    cfg_b = _tiny_cfg(str(tmp_path / "b"), device_data=True)
+    exp_b = Experiment(cfg_b)
+    exp_b.train_encoder(iters=3, eval_during=False)
+    exp_b.save_checkpoint()
+    exp_b2 = Experiment(cfg_b)
+    exp_b2.restore_checkpoint()
+    assert int(jax.device_get(exp_b2.encoder_state.step)) == 3
+    exp_b2.train_encoder(iters=3, eval_during=False)
+    p_b = jax.device_get(exp_b2.encoder_state.params)
+
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p_a, p_b)
+
+
+def test_make_batch_feed_falls_back_for_pair_balanced(tmp_path):
+    cfg = _tiny_cfg(str(tmp_path / "c"), device_data=True)
+    ds = _indexed_dataset(32)
+    with pytest.warns(UserWarning, match="pair_balanced"):
+        feed = make_batch_feed(ds, cfg, start_step=0, seed=0,
+                               pair_balanced=True)
+    imgs, labs = next(feed)
+    assert imgs.shape[0] == cfg.train.batch_size
+
+
+@pytest.mark.slow
+def test_device_data_gan_loop_smoke(tmp_path):
+    """Two fused GAN cycles through the device-resident feed."""
+    from hashgan_tpu.train.loop import Experiment
+
+    base = _tiny_cfg(str(tmp_path / "g"), device_data=True)
+    cfg = dataclasses.replace(
+        base, use_gan=True,
+        data=dataclasses.replace(base.data, image_size=32),  # G/D need >=32px
+    )
+    exp = Experiment(cfg)
+    exp.train_gan(iters=2)
+    exp.train_encoder(iters=2, eval_during=False)  # co-train consumes feed too
+    assert np.isfinite(float(jax.device_get(
+        exp.encoder_state.step)))  # loop completed through the device feed
