@@ -126,6 +126,50 @@ class DeviceBatchSource:
             yield out
 
 
+class ResidentEncoder:
+    """Encode a device-resident split without per-batch wire traffic.
+
+    The host encode path (train/hash_step.py::encode_dataset) transfers
+    every image batch over the tunnel at each eval — config4 geometry moves
+    ~640 MB per eval, leaking ~1.15x that host-side (docs/BENCHMARKS.md).
+    Here the padded uint8 split is parked in HBM once and one jitted
+    lax.scan slides a static window over it; per eval the wire carries only
+    the params (already resident) and the (n, bits) f32 codes back.
+
+    The split is passed to the jitted runner as an ARGUMENT — capturing it
+    as a closure constant would inline ~600 MB into the remote-compile
+    request (HTTP 413 at ~268 MB on this platform, CLAUDE.md). The jit
+    cache lives on this object: construct once per split and reuse across
+    evals, or every call recompiles (50-300 s on axon).
+    """
+
+    def __init__(self, encode_fn, dataset: SyntheticImageDataset,
+                 batch_size: int = 256):
+        self.n = len(dataset)
+        bs = min(batch_size, max(32, self.n))
+        n_pad = ((self.n + bs - 1) // bs) * bs
+        imgs = dataset.images
+        if n_pad != self.n:
+            imgs = np.concatenate(
+                [imgs, np.zeros((n_pad - self.n,) + imgs.shape[1:],
+                                imgs.dtype)])
+        self.images = jax.device_put(imgs)
+        los = jnp.arange(n_pad // bs, dtype=jnp.int32) * bs
+
+        def run(params, images):
+            def body(carry, lo):
+                b = jax.lax.dynamic_slice_in_dim(images, lo, bs, axis=0)
+                return carry, encode_fn(params, b)
+
+            _, codes = jax.lax.scan(body, 0, los)
+            return codes.reshape(n_pad, -1)
+
+        self._run = jax.jit(run)
+
+    def __call__(self, params) -> np.ndarray:
+        return np.asarray(self._run(params, self.images))[: self.n]
+
+
 def make_batch_feed(
     dataset: SyntheticImageDataset,
     cfg,

@@ -104,6 +104,7 @@ class Experiment:
         )
         self._enc_step_nogan = None  # built lazily by the stage-II guard
         self._encode = make_encode_fn(self.encoder, cfg)
+        self._resident_encoders = {}  # split -> ResidentEncoder (device_data)
         self.ckpt = CheckpointManager(self.workdir)
 
     # ------------------------------------------------------------------
@@ -378,13 +379,28 @@ class Experiment:
     # ------------------------------------------------------------------
     def encode_split(self, split: str) -> np.ndarray:
         n = len(self.splits[split])
+        shard = self.mesh is not None and n >= self.cfg.eval.encode_shard_min
+        if self.cfg.train.device_data and not (shard and self.mesh.size > 1):
+            # Device-resident encode (data/device_data.py::ResidentEncoder):
+            # no per-batch wire traffic; cached per split so the jit (and
+            # the HBM copy) is built once and reused across evals.
+            enc = self._resident_encoders.get(split)
+            if enc is None:
+                from hashgan_tpu.data.device_data import ResidentEncoder
+
+                enc = ResidentEncoder(
+                    self._encode, self.splits[split],
+                    batch_size=min(256, max(32, n)),
+                )
+                self._resident_encoders[split] = enc
+            return enc(self.encoder_state.params)
         return encode_dataset(
             self._encode, self.encoder_state.params, self.splits[split],
             batch_size=min(256, max(32, n)),
             # shard the forward only where it pays: partitioned matmuls sum
             # in a different order (f32-rounding-level code differences), so
             # small splits stay single-device for strict determinism
-            mesh=self.mesh if n >= self.cfg.eval.encode_shard_min else None,
+            mesh=self.mesh if shard else None,
         )
 
     def build_index(self, save_path: Optional[str] = None) -> PackedGallery:

@@ -84,6 +84,11 @@ def base_config(arm: str):
             cfg.train, batch_size=64, epoch_shuffle=True,
             eval_every=5000, checkpoint_every=10_000, log_every=500,
             sample_every=5000,
+            # Device-resident feed (data/device_data.py): removes the
+            # ~0.25 s/step host gather + wire transfer measured on this
+            # throttled host AND the per-wire-byte tunnel leak that sized
+            # the segments (see run_config4_ref_horizon.py).
+            device_data=True,
         ),
     )
     if SMOKE:

@@ -144,3 +144,24 @@ def test_device_data_gan_loop_smoke(tmp_path):
     exp.train_encoder(iters=2, eval_during=False)  # co-train consumes feed too
     assert np.isfinite(float(jax.device_get(
         exp.encoder_state.step)))  # loop completed through the device feed
+
+
+def test_resident_encoder_matches_host_path(tmp_path):
+    """Device-resident eval encode is bit-exact vs the per-batch host path
+    (same batch slicing, same padded shapes, single device)."""
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = _tiny_cfg(str(tmp_path / "r"), device_data=True)
+    exp = Experiment(cfg)
+    exp.train_encoder(iters=2, eval_during=False)
+    codes_resident = exp.encode_split("database")
+
+    import dataclasses as dc
+    cfg_host = dc.replace(cfg, train=dc.replace(cfg.train, device_data=False))
+    exp_host = Experiment.__new__(Experiment)
+    exp_host.__dict__.update(exp.__dict__)
+    exp_host.cfg = cfg_host
+    codes_host = exp_host.encode_split("database")
+
+    np.testing.assert_array_equal(codes_resident, codes_host)
+    assert codes_resident.shape == (32, 16)
