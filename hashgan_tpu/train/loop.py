@@ -343,13 +343,91 @@ class Experiment:
             if self.mesh is not None
             else None
         )
+        host_step = int(jax.device_get(self.encoder_state.step))  # see train_gan
+
+        def boundaries(metrics):
+            nonlocal means
+            if host_step % cfg.train.log_every == 0:
+                host_metrics = jax.device_get(metrics)
+                self._saturation_guard(host_step, host_metrics)
+                self.logger.log(host_step, host_metrics)
+                means = self.logger.flush(host_step)
+            if eval_during and host_step % cfg.train.eval_every == 0:
+                self.logger.log(host_step, self.evaluate())
+                means = self.logger.flush(host_step)
+            if host_step % cfg.train.checkpoint_every == 0:
+                self.save_checkpoint()
+
+        fused_src = None
+        if cfg.train.device_data and cfg.train.pair_sampling != "balanced":
+            from hashgan_tpu.data.device_data import DeviceBatchSource
+
+            fused_src = DeviceBatchSource(
+                self.splits["train"], cfg.train.batch_size,
+                seed=cfg.train.seed + 1,
+                epoch_shuffle=cfg.train.epoch_shuffle,
+                sharding=sharding, mesh=self.mesh,
+            )
+        if fused_src is not None:
+            # Fused multi-step windows: device-resident batches compose with
+            # the train step under ONE lax.scan dispatch per log window, so
+            # per-step host cost (python dispatch + tunnel chatter on this
+            # throttled single-vCPU host) amortizes away. Window = gcd of
+            # the loop boundaries so every log/eval/checkpoint step count
+            # stays reachable; metrics are window means.
+            import math
+
+            window = max(1, math.gcd(
+                math.gcd(cfg.train.log_every, cfg.train.eval_every),
+                cfg.train.checkpoint_every,
+            ))
+            fetch = fused_src._fetch
+            gan_args = (
+                (self.gan_state.g_params, self.gan_state.g_stats)
+                if use_gan else ()
+            )
+
+            def multi(state, images, labels, step0, rng_, *g_args):
+                def body(st, i):
+                    imgs, labs = fetch(images, labels, step0 + i)
+                    return step_fn(st, imgs, labs, rng_, *g_args)
+
+                state, ms = jax.lax.scan(
+                    body, state, jnp.arange(window, dtype=jnp.int32)
+                )
+                return state, jax.tree_util.tree_map(
+                    lambda x: jnp.mean(x, axis=0), ms
+                )
+
+            fused = jax.jit(multi, donate_argnums=(0,))
+            done = 0
+            while done < iters:
+                # realign to window boundaries, honor the iters budget
+                w = min(window - host_step % window, iters - done)
+                if w == window:
+                    self.encoder_state, metrics = fused(
+                        self.encoder_state, fused_src.images,
+                        fused_src.labels, np.int32(host_step), rng, *gan_args,
+                    )
+                    host_step += w
+                    done += w
+                else:  # ragged prefix/suffix: per-step through the same feed
+                    for _ in range(w):
+                        imgs, labs = fused_src.batch(host_step)
+                        self.encoder_state, metrics = step_fn(
+                            self.encoder_state, imgs, labs, rng, *gan_args
+                        )
+                        host_step += 1
+                        done += 1
+                boundaries(metrics)
+            return means
+
         batches = make_batch_feed(
             self.splits["train"], cfg,
-            start_step=int(jax.device_get(self.encoder_state.step)),
+            start_step=host_step,
             seed=cfg.train.seed + 1, mesh=self.mesh, batch_sharding=sharding,
             pair_balanced=(cfg.train.pair_sampling == "balanced"),
         )
-        host_step = int(jax.device_get(self.encoder_state.step))  # see train_gan
         for _ in range(iters):
             batch = next(batches)
             if use_gan:
@@ -362,16 +440,7 @@ class Experiment:
                     self.encoder_state, batch[0], batch[1], rng
                 )
             host_step += 1
-            if host_step % cfg.train.log_every == 0:
-                host_metrics = jax.device_get(metrics)
-                self._saturation_guard(host_step, host_metrics)
-                self.logger.log(host_step, host_metrics)
-                means = self.logger.flush(host_step)
-            if eval_during and host_step % cfg.train.eval_every == 0:
-                self.logger.log(host_step, self.evaluate())
-                means = self.logger.flush(host_step)
-            if host_step % cfg.train.checkpoint_every == 0:
-                self.save_checkpoint()
+            boundaries(metrics)
         return means
 
     # ------------------------------------------------------------------

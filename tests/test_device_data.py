@@ -165,3 +165,23 @@ def test_resident_encoder_matches_host_path(tmp_path):
 
     np.testing.assert_array_equal(codes_resident, codes_host)
     assert codes_resident.shape == (32, 16)
+
+
+def test_fused_windows_match_per_step_training(tmp_path):
+    """The fused lax.scan window path must produce bit-identical params to
+    stepping one-at-a-time through the same device feed (window=1)."""
+    from hashgan_tpu.train.loop import Experiment
+
+    def run(workdir, log_every):
+        base = _tiny_cfg(workdir, device_data=True)
+        cfg = dataclasses.replace(
+            base, train=dataclasses.replace(
+                base.train, log_every=log_every, eval_every=6 * log_every,
+                checkpoint_every=6 * log_every))
+        exp = Experiment(cfg)
+        exp.train_encoder(iters=6, eval_during=False)
+        return jax.device_get(exp.encoder_state.params)
+
+    p_fused = run(str(tmp_path / "f"), log_every=3)   # window=3: 2 dispatches
+    p_step = run(str(tmp_path / "s"), log_every=1)    # window=1: 6 dispatches
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p_fused, p_step)
