@@ -128,23 +128,14 @@ class Experiment:
             sharding = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec(None, "data")
             )
-        batches = make_batch_feed(
-            self.splits["train"], cfg,
-            start_step=int(jax.device_get(self.gan_state.step)),
-            seed=cfg.train.seed, n_batches=n_batches, mesh=self.mesh,
-            batch_sharding=sharding,
-        )
         # Host-side step mirror: device_get forces a host<->device round
         # trip, which on a remote-tunnel platform costs ~100ms — syncing
         # every step would reintroduce the reference's feed_dict boundary.
         # Steps are enqueued asynchronously; sync only at log points.
         host_step = int(jax.device_get(self.gan_state.step))
-        for _ in range(iters):
-            batch = next(batches)
-            self.gan_state, metrics = self._gan_cycle(
-                self.gan_state, batch[0], batch[1], rng
-            )
-            host_step += 1
+
+        def boundaries(metrics):
+            nonlocal means
             if host_step % self.cfg.train.log_every == 0:
                 self.logger.log(host_step, jax.device_get(metrics))
                 means = self.logger.flush(host_step)
@@ -153,6 +144,73 @@ class Experiment:
                 self.logger.log(host_step, self.sample_quality())
             if host_step % self.cfg.train.checkpoint_every == 0:
                 self.save_checkpoint()
+
+        if cfg.train.device_data:
+            # Fused multi-cycle windows (see train_encoder): fetch + fused
+            # critic/gen cycle under one lax.scan dispatch per log window.
+            import math
+
+            from hashgan_tpu.data.device_data import DeviceBatchSource
+
+            src = DeviceBatchSource(
+                self.splits["train"], cfg.train.batch_size,
+                seed=cfg.train.seed, epoch_shuffle=cfg.train.epoch_shuffle,
+                n_batches=n_batches, sharding=sharding, mesh=self.mesh,
+            )
+            window = max(1, math.gcd(
+                math.gcd(cfg.train.log_every, cfg.train.sample_every),
+                cfg.train.checkpoint_every,
+            ))
+            fetch = src._fetch
+            gan_cycle = self._gan_cycle
+
+            def multi(state, images, labels, step0, rng_):
+                def body(st, i):
+                    imgs, labs = fetch(images, labels, step0 + i)
+                    return gan_cycle(st, imgs, labs, rng_)
+
+                state, ms = jax.lax.scan(
+                    body, state, jnp.arange(window, dtype=jnp.int32)
+                )
+                return state, jax.tree_util.tree_map(
+                    lambda x: jnp.mean(x, axis=0), ms
+                )
+
+            fused = jax.jit(multi, donate_argnums=(0,))
+            done = 0
+            while done < iters:
+                w = min(window - host_step % window, iters - done)
+                if w == window:
+                    self.gan_state, metrics = fused(
+                        self.gan_state, src.images, src.labels,
+                        np.int32(host_step), rng,
+                    )
+                    host_step += w
+                    done += w
+                else:  # ragged prefix/suffix: per-cycle through the feed
+                    for _ in range(w):
+                        imgs, labs = src.batch(host_step)
+                        self.gan_state, metrics = gan_cycle(
+                            self.gan_state, imgs, labs, rng
+                        )
+                        host_step += 1
+                        done += 1
+                boundaries(metrics)
+            return means
+
+        batches = make_batch_feed(
+            self.splits["train"], cfg,
+            start_step=host_step,
+            seed=cfg.train.seed, n_batches=n_batches, mesh=self.mesh,
+            batch_sharding=sharding,
+        )
+        for _ in range(iters):
+            batch = next(batches)
+            self.gan_state, metrics = self._gan_cycle(
+                self.gan_state, batch[0], batch[1], rng
+            )
+            host_step += 1
+            boundaries(metrics)
         return means
 
     def sample_quality(self) -> Dict[str, float]:

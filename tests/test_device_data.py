@@ -185,3 +185,25 @@ def test_fused_windows_match_per_step_training(tmp_path):
     p_fused = run(str(tmp_path / "f"), log_every=3)   # window=3: 2 dispatches
     p_step = run(str(tmp_path / "s"), log_every=1)    # window=1: 6 dispatches
     jax.tree_util.tree_map(np.testing.assert_array_equal, p_fused, p_step)
+
+
+@pytest.mark.slow
+def test_fused_gan_windows_match_per_cycle(tmp_path):
+    """Fused GAN windows == per-cycle execution, bit-exact."""
+    from hashgan_tpu.train.loop import Experiment
+
+    def run(workdir, log_every):
+        base = _tiny_cfg(workdir, device_data=True)
+        cfg = dataclasses.replace(
+            base, use_gan=True,
+            data=dataclasses.replace(base.data, image_size=32),
+            train=dataclasses.replace(
+                base.train, log_every=log_every, sample_every=10_000,
+                checkpoint_every=10_000))
+        exp = Experiment(cfg)
+        exp.train_gan(iters=4)
+        return jax.device_get(exp.gan_state.g_params)
+
+    p_fused = run(str(tmp_path / "f"), log_every=2)
+    p_cycle = run(str(tmp_path / "s"), log_every=1)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p_fused, p_cycle)
