@@ -377,7 +377,7 @@ def sharded_mxu_topk_large(
     col_block: int = 128,
     interpret: bool = False,
     mode: str = "exact",
-    select: str = "twolevel",
+    select: str = "sortdecode",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact large-k (k in the thousands) over a contiguously sharded
     gallery: per-shard subgroup-min engine (ops/mxu_large_k.py), k
