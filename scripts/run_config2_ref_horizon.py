@@ -17,6 +17,27 @@ the GAN-co-training configuration is demonstrated at protocol scale:
   realonly : same stage II with use_gan=False in a sibling workdir
              (the paper's claim is the DELTA between these two arms).
 
+ENCODER BACKBONE (ENCODER_ARCH, default "small_cnn"): the reference's
+stage-II protocol is bvlc-ImageNet-PRETRAINED AlexNet at 227px (SURVEY.md
+C9; loader wired + tested, weights drop in via encoder.pretrained_npy but
+are unavailable offline).  Two measured dead ends shaped the default:
+
+- alexnet from scratch: featureless on 32px synthetics upscaled to 227
+  (round 2 at 3k steps; round-3 horizon attempt at 19k steps — pair_nll
+  FROZEN at 0.7552, MAP@5000 declining 0.148 -> 0.102 = chance; run
+  preserved in runs/config2_ref_horizon_alexnet_fromscratch/).
+- resnet at the reference's default 10x hash lr: tanh-saturation collapse
+  by step 1000 of cotrain (|code|=1.0000 exact, quantization=0,
+  bit_balance_sq=1.0 — all codes identical; the saturation guard fired at
+  3500).  embed_norm protected config4's 100-class encoder-only run, not
+  this 10-class co-training geometry; from-scratch resnet runs here pin
+  hash_lr_multiplier=1.0.
+
+small_cnn at its defaults is the round-2-proven config2-shaped cotrain
+regime (MAP@1000 0.9999 with a dim-128 GAN at 32px) and is the offline
+surrogate; ENCODER_ARCH=alexnet restores the reference protocol for when
+pretrained weights are available.
+
 SEGMENTED EXECUTION (why this script re-execs itself): the axon tunnel
 client leaks host memory per dispatch (~1.15x the transferred bytes;
 measured round 3 — a 100k-step run grew to 130 GB and was OOM-killed at
@@ -45,6 +66,16 @@ import time
 
 GAN_CYCLES = int(os.environ.get("GAN_CYCLES", 40_000))
 ENC_ITERS = int(os.environ.get("ENC_ITERS", 100_000))
+ENCODER_ARCH = os.environ.get("ENCODER_ARCH", "small_cnn")
+# Per-arch safe settings (module docstring): the 10x hash-lr multiplier is
+# the PRETRAINED protocol; from-scratch alexnet AND resnet both measured
+# tanh-saturation/featureless failures without these overrides.
+_ARCH_ENC_OVERRIDES = {
+    "alexnet": {"input_resize": 227, "resize_base": 256,
+                "hash_lr_multiplier": 1.0},
+    "resnet": {"hash_lr_multiplier": 1.0},
+    "small_cnn": {},
+}
 SKIP_ABLATION = os.environ.get("SKIP_ABLATION", "") == "1"
 # Segment sizes: bound the leaked host memory per child process
 # (~1.15x wire bytes: 20k GAN cycles ~ 25 GB, 50k enc steps ~ 12 GB).
@@ -69,15 +100,8 @@ def base_config(arm: str):
         # defaults (5000/1000/54000); make the AlexNet 227 input protocol
         # explicit (SURVEY.md C9: resize 256 -> crop 227).
         encoder=dataclasses.replace(
-            cfg.encoder, iters=ENC_ITERS, decay_lr=True,
-            input_resize=227, resize_base=256,
-            # From-scratch protocol: the reference's 10x hash-lr multiplier
-            # assumes bvlc-pretrained conv towers; from random init it
-            # drives the hash tanh to exact saturation (zero grad,
-            # unrecoverable) within ~100 steps — measured on-chip round 2
-            # (docs/BENCHMARKS.md, models/alexnet.py). No pretrained npy is
-            # available offline, so train the whole net at 1x.
-            hash_lr_multiplier=1.0,
+            cfg.encoder, iters=ENC_ITERS, decay_lr=True, arch=ENCODER_ARCH,
+            **_ARCH_ENC_OVERRIDES[ENCODER_ARCH],
         ),
         gan=dataclasses.replace(cfg.gan, iters=GAN_CYCLES, ema_decay=0.999),
         train=dataclasses.replace(
@@ -98,8 +122,10 @@ def base_config(arm: str):
                 cfg.data, n_train=128, n_query=32, n_database=256),
             gan=dataclasses.replace(cfg.gan, dim=16, z_dim=16),
             encoder=dataclasses.replace(
-                cfg.encoder, iters=ENC_ITERS, input_resize=64,
-                resize_base=72),
+                cfg.encoder, iters=ENC_ITERS,
+                **({"input_resize": 64, "resize_base": 72}
+                   if ENCODER_ARCH == "alexnet" else {}),
+            ),
             eval=dataclasses.replace(cfg.eval, R=50),
             train=dataclasses.replace(
                 cfg.train, batch_size=16, eval_every=4, log_every=2,
