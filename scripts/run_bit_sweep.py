@@ -1,0 +1,137 @@
+"""CIFAR-protocol bit-width sweep: MAP@5000 at 16/24/32/48-bit codes.
+
+The reference's headline result table (SURVEY.md §0/§3.3; CVPR18 paper
+table 1, expected ref README results) reports CIFAR-10 MAP across code
+lengths 16/24/32/48.  This runner produces the same-shaped table on the
+synthetic CIFAR surrogate (real archives drop in via
+``DataConfig.cifar10_dir``, data/cifar10.py): encoder-only hash training
+(config-1 protocol) at the CIFAR retrieval geometry 5000 train / 1000
+query / 54000 database, evaluated at the paper's R=5000 for every bit
+width.
+
+One child process per bit width (the parent imports no jax — one
+axon-attached process at a time, CLAUDE.md), each with the
+device-resident feed (data/device_data.py), so a full 4-point sweep is
+~25 min on one v5e at the default 20k steps/point.
+
+Usage:
+  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/run_bit_sweep.py
+Env: BITS="16,24,32,48", ITERS=20000, SMOKE=1 (tiny tunnel-free CPU run).
+Artifacts: runs/bit_sweep/{bits<b>/, sweep.json, sweep.md}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import time
+
+BITS = tuple(int(b) for b in os.environ.get("BITS", "16,24,32,48").split(","))
+ITERS = int(os.environ.get("ITERS", 20_000))
+SMOKE = os.environ.get("SMOKE", "") == "1"
+ROOT = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "runs",
+                 "bit_sweep" + ("_smoke" if SMOKE else ""))
+)
+
+
+def build_config(bits: int):
+    from hashgan_tpu.configs import get_config
+
+    cfg = get_config("config1")
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(
+            cfg.encoder, bits=bits, iters=ITERS, decay_lr=True),
+        index=dataclasses.replace(cfg.index, bits=bits),
+        # The paper's CIFAR protocol R (MAP@5000), not config1's quick
+        # R=1000 — the sweep is the results-table artifact.
+        eval=dataclasses.replace(cfg.eval, R=5000),
+        train=dataclasses.replace(
+            cfg.train, batch_size=128, epoch_shuffle=True, device_data=True,
+            eval_every=5000, checkpoint_every=10_000, log_every=500,
+            sample_every=1 << 30,
+            workdir=os.path.join(ROOT, f"bits{bits}"),
+        ),
+    )
+    if SMOKE:
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data, n_train=64, n_query=32, n_database=256),
+            eval=dataclasses.replace(cfg.eval, R=50),
+            train=dataclasses.replace(
+                cfg.train, batch_size=16, eval_every=4, log_every=2,
+                checkpoint_every=4),
+        )
+    return cfg
+
+
+def run_point(bits: int) -> int:
+    import jax
+
+    from hashgan_tpu.train.loop import Experiment
+
+    t0 = time.time()
+    cfg = build_config(bits)
+    exp = Experiment(cfg)
+    exp.restore_checkpoint()
+    step = int(jax.device_get(exp.encoder_state.step))
+    target = cfg.encoder.iters
+    if step < target:
+        print(f"[bits{bits}] steps {step} -> {target}", flush=True)
+        exp.train_encoder(target - step)
+        exp.save_checkpoint()
+    final = exp.evaluate()
+    rec = {"bits": bits, "iters": target, "wall_s": time.time() - t0,
+           **{k: float(v) for k, v in final.items()}}
+    with open(os.path.join(ROOT, f"point_bits{bits}.json"), "w") as f:
+        json.dump(rec, f, indent=2)
+    print(f"[bits{bits}] {json.dumps({k: round(v, 4) for k, v in rec.items()})}",
+          flush=True)
+    return 0
+
+
+def orchestrate() -> int:
+    t0 = time.time()
+    os.makedirs(ROOT, exist_ok=True)
+    for bits in BITS:
+        print(f"=== bits {bits} ===", flush=True)
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(bits)],
+        ).returncode
+        if rc != 0:
+            print(f"bits {bits} failed with rc={rc}", flush=True)
+            return rc
+    points = []
+    for bits in BITS:
+        with open(os.path.join(ROOT, f"point_bits{bits}.json")) as f:
+            points.append(json.load(f))
+    out = {"run": "bit_sweep", "iters_per_point": ITERS,
+           "wall_s": time.time() - t0, "points": points}
+    with open(os.path.join(ROOT, "sweep.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    map_key = next(k for k in points[0] if k.startswith("map_at_"))
+    lines = [
+        "| bits | " + " | ".join(str(p["bits"]) for p in points) + " |",
+        "|---|" + "---|" * len(points),
+        f"| {map_key} | "
+        + " | ".join(f"{p[map_key]:.4f}" for p in points) + " |",
+        "| precision@H<=2 | "
+        + " | ".join(f"{p.get('precision_at_h2', float('nan')):.4f}"
+                     for p in points) + " |",
+    ]
+    table = "\n".join(lines)
+    with open(os.path.join(ROOT, "sweep.md"), "w") as f:
+        f.write(table + "\n")
+    print(table, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        sys.exit(run_point(int(sys.argv[1])))
+    sys.exit(orchestrate())
