@@ -28,8 +28,16 @@ keys on-device costs microseconds, so statelessness is free), consumed in
 batch_size slices, ragged remainder dropped — the host pipeline's exact
 epoch semantics.
 
-``pair_balanced`` sampling (BASELINE config 3) stays host-side: it walks
-ragged per-class pools; use the host pipeline for it.
+``pair_balanced`` sampling (BASELINE config 3, data/pipeline.py
+``BatchIterator._partners``) runs in-jit too: the ragged per-class pools
+are padded once into a rectangular (n_classes, max_pool) int32 matrix
+(NUS-WIDE shape: 21 x <=10.5k = <1 MB of HBM) and partner selection is
+three fold_in-seeded draws — anchor, active class via cumsum inversion,
+pool member — so config 3 gets the same one-dispatch-per-window training
+loop as configs 1/2/4. Same guarantee as the host sampler (second half
+partners share >= 1 active label with the first half's anchors; no-label
+rows self-partner), same step-purity contract, but a different PRNG —
+the two pipelines are order-compatible only with themselves.
 """
 
 from __future__ import annotations
@@ -42,6 +50,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from hashgan_tpu.data.synthetic import SyntheticImageDataset
+
+
+def _class_pools(labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Rectangular per-class member pools: (pool (K, P) i32, sizes (K,) i32).
+
+    ``pool[c, :sizes[c]]`` lists the item indices whose label ``c`` is
+    active; padding slots are 0 (a valid index — callers must bound picks
+    by ``sizes``). Built host-side once per split with vectorized numpy
+    (no per-class python loop: the dev host's single throttled vCPU)."""
+    act = labels > 0.5
+    sizes = act.sum(axis=0).astype(np.int32)
+    p = max(int(sizes.max()) if sizes.size else 0, 1)
+    pool = np.zeros((labels.shape[1], p), np.int32)
+    rows, cols = np.nonzero(act.T)  # rows=class ids (sorted), cols=item ids
+    if rows.size:
+        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        pool[rows, np.arange(rows.size) - offsets[rows]] = cols
+    return pool, sizes
 
 
 class DeviceBatchSource:
@@ -63,6 +89,7 @@ class DeviceBatchSource:
         batch_size: int,
         seed: int = 0,
         epoch_shuffle: bool = False,
+        pair_balanced: bool = False,
         n_batches: int = 1,
         sharding=None,
         mesh=None,
@@ -72,24 +99,60 @@ class DeviceBatchSource:
         self.n_batches = n_batches
         self.seed = seed
         self.epoch_shuffle = epoch_shuffle
+        self.pair_balanced = pair_balanced
         total = batch_size * n_batches
+        if pair_balanced and n_batches != 1:
+            # Balance is a WML-loss (encoder stage) contract; the fused GAN
+            # cycle's stacked batches train the critic/generator and take
+            # the plain samplers.
+            raise ValueError("pair_balanced requires n_batches == 1")
         if mesh is not None:
             # Replicate the split so per-device gathers need no collective.
             rep = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec()
             )
-            self.images = jax.device_put(dataset.images, rep)
-            self.labels = jax.device_put(dataset.labels, rep)
+            put = lambda x: jax.device_put(x, rep)  # noqa: E731
         else:
-            self.images = jax.device_put(dataset.images)
-            self.labels = jax.device_put(dataset.labels)
+            put = jax.device_put
+        self.images = put(dataset.images)
+        self.labels = put(dataset.labels)
+        if pair_balanced:
+            pool, sizes = _class_pools(dataset.labels)
+            self._pool, self._sizes = put(pool), put(sizes)
+            self._any_labeled = bool(sizes.sum() > 0)
 
         n = self.n
         bpe = n // total  # full batches per epoch (ragged remainder dropped)
-        use_epoch = epoch_shuffle and bpe >= 1
+        use_epoch = epoch_shuffle and bpe >= 1 and not pair_balanced
+
+        def balanced_idx(labels, step):
+            # Mirrors pipeline.BatchIterator._partners / batch(): first
+            # half+remainder are uniform anchors; each of the first
+            # ``half`` anchors gets a partner sharing >= 1 active label
+            # (uniform active class via cumsum inversion, then a uniform
+            # member of that class's pool). No-label anchors self-partner.
+            half = total // 2
+            kb = jax.random.fold_in(jax.random.key(seed ^ 0xBA1A), step)
+            k1, k2, k3 = jax.random.split(kb, 3)
+            anchors = jax.random.randint(k1, (total - half,), 0, n)
+            if half == 0 or not self._any_labeled:
+                return anchors if half == 0 else jnp.concatenate(
+                    [anchors, anchors[:half]])
+            a = labels[anchors[:half]] > 0.5                    # (half, K)
+            n_active = a.sum(axis=1)
+            u = jax.random.randint(
+                k2, (half,), 0, jnp.maximum(n_active, 1))
+            c = jnp.argmax(jnp.cumsum(a, axis=1) > u[:, None], axis=1)
+            pick = jax.random.randint(
+                k3, (half,), 0, jnp.maximum(self._sizes[c], 1))
+            partners = jnp.where(
+                n_active > 0, self._pool[c, pick], anchors[:half])
+            return jnp.concatenate([anchors, partners])
 
         def fetch(images, labels, step):
-            if use_epoch:
+            if pair_balanced:
+                idx = balanced_idx(labels, step)
+            elif use_epoch:
                 epoch = step // bpe
                 pos = step % bpe
                 perm = jax.random.permutation(
@@ -185,21 +248,14 @@ def make_batch_feed(
     BatchIterator + prefetch_to_device path."""
     from hashgan_tpu.data.pipeline import BatchIterator, prefetch_to_device
 
-    if cfg.train.device_data and not pair_balanced:
+    if cfg.train.device_data and not (pair_balanced and n_batches != 1):
         src = DeviceBatchSource(
             dataset, cfg.train.batch_size, seed=seed,
-            epoch_shuffle=cfg.train.epoch_shuffle, n_batches=n_batches,
+            epoch_shuffle=cfg.train.epoch_shuffle,
+            pair_balanced=pair_balanced, n_batches=n_batches,
             sharding=batch_sharding, mesh=mesh,
         )
         return src.iter(start_step)
-    if cfg.train.device_data and pair_balanced:
-        import warnings
-
-        warnings.warn(
-            "device_data does not support pair_balanced sampling "
-            "(ragged per-class pools); using the host pipeline.",
-            stacklevel=2,
-        )
     it = BatchIterator(
         dataset, cfg.train.batch_size * n_batches, seed=seed,
         start_step=start_step, epoch_shuffle=cfg.train.epoch_shuffle,

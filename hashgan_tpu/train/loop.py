@@ -417,13 +417,14 @@ class Experiment:
                 self.save_checkpoint()
 
         fused_src = None
-        if cfg.train.device_data and cfg.train.pair_sampling != "balanced":
+        if cfg.train.device_data:
             from hashgan_tpu.data.device_data import DeviceBatchSource
 
             fused_src = DeviceBatchSource(
                 self.splits["train"], cfg.train.batch_size,
                 seed=cfg.train.seed + 1,
                 epoch_shuffle=cfg.train.epoch_shuffle,
+                pair_balanced=(cfg.train.pair_sampling == "balanced"),
                 sharding=sharding, mesh=self.mesh,
             )
         if fused_src is not None:

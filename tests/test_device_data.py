@@ -119,14 +119,73 @@ def test_device_data_training_resume_bit_exact(tmp_path):
     jax.tree_util.tree_map(np.testing.assert_array_equal, p_a, p_b)
 
 
-def test_make_batch_feed_falls_back_for_pair_balanced(tmp_path):
+def _multilabel_dataset(n: int, k: int = 7, size: int = 8,
+                        p: float = 0.25) -> SyntheticImageDataset:
+    rng = np.random.default_rng(11)
+    return SyntheticImageDataset(
+        images=rng.integers(0, 256, size=(n, size, size, 3), dtype=np.uint8),
+        labels=(rng.random((n, k)) < p).astype(np.float32),
+    )
+
+
+def test_class_pools_roundtrip():
+    from hashgan_tpu.data.device_data import _class_pools
+
+    ds = _multilabel_dataset(50)
+    pool, sizes = _class_pools(ds.labels)
+    act = ds.labels > 0.5
+    for c in range(ds.labels.shape[1]):
+        members = set(np.nonzero(act[:, c])[0].tolist())
+        assert int(sizes[c]) == len(members)
+        assert set(pool[c, : sizes[c]].tolist()) == members
+
+
+def test_make_batch_feed_pair_balanced_on_device(tmp_path):
+    """device_data + pair_balanced runs the in-jit sampler (no host
+    fallback) and keeps the positive-pair guarantee: each second-half
+    partner shares >= 1 active label with its first-half anchor."""
     cfg = _tiny_cfg(str(tmp_path / "c"), device_data=True)
-    ds = _indexed_dataset(32)
-    with pytest.warns(UserWarning, match="pair_balanced"):
-        feed = make_batch_feed(ds, cfg, start_step=0, seed=0,
-                               pair_balanced=True)
-    imgs, labs = next(feed)
-    assert imgs.shape[0] == cfg.train.batch_size
+    ds = _multilabel_dataset(64)
+    feed = make_batch_feed(ds, cfg, start_step=0, seed=0,
+                           pair_balanced=True)
+    b = cfg.train.batch_size
+    half = b // 2
+    # Recover row indices by matching images (uint8 rows are unique whp).
+    flat = ds.images.reshape(len(ds), -1)
+    for _ in range(4):
+        imgs, labs = next(feed)
+        imgs = np.asarray(imgs)
+        assert imgs.shape[0] == b
+        idx = np.array([
+            int(np.nonzero((flat == r.reshape(-1)).all(axis=1))[0][0])
+            for r in imgs
+        ])
+        anchors, partners = idx[:half], idx[b - half:]
+        for a, p in zip(anchors, partners):
+            shared = float(ds.labels[a] @ ds.labels[p])
+            if ds.labels[a].sum() > 0:
+                assert shared > 0, (a, p)
+            else:
+                assert p == a  # no-label rows self-partner
+
+
+def test_pair_balanced_step_pure_and_unique_classes_self_partner():
+    # Identity labels: every class pool has exactly one member, so each
+    # partner must BE its anchor; and batch(step) is pure in step.
+    ds = _indexed_dataset(40)
+    src = DeviceBatchSource(ds, batch_size=8, seed=5, pair_balanced=True)
+    i0, l0 = src.batch(3)
+    i1, l1 = src.batch(3)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    rows = np.argmax(np.asarray(l0), axis=1)
+    np.testing.assert_array_equal(rows[8 - 4:], rows[:4])
+
+
+def test_pair_balanced_rejects_stacked_batches():
+    ds = _multilabel_dataset(32)
+    with pytest.raises(ValueError, match="n_batches"):
+        DeviceBatchSource(ds, batch_size=4, n_batches=3, pair_balanced=True)
 
 
 @pytest.mark.slow
