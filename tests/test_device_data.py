@@ -188,6 +188,37 @@ def test_pair_balanced_rejects_stacked_batches():
         DeviceBatchSource(ds, batch_size=4, n_batches=3, pair_balanced=True)
 
 
+def test_pair_balanced_fused_training_resume_bit_exact(tmp_path):
+    """config-3's sampler through the FULL fused device_data loop:
+    a kill/restart at step 3 of 6 reproduces the uninterrupted params."""
+    import dataclasses as _dc
+
+    from hashgan_tpu.train.loop import Experiment
+
+    def cfg(workdir):
+        c = _tiny_cfg(workdir, device_data=True)
+        return _dc.replace(
+            c,
+            data=_dc.replace(c.data, multi_label=True),
+            train=_dc.replace(c.train, pair_sampling="balanced"),
+        )
+
+    exp_a = Experiment(cfg(str(tmp_path / "a")))
+    exp_a.train_encoder(iters=6, eval_during=False)
+    p_a = jax.device_get(exp_a.encoder_state.params)
+
+    cfg_b = cfg(str(tmp_path / "b"))
+    exp_b = Experiment(cfg_b)
+    exp_b.train_encoder(iters=3, eval_during=False)
+    exp_b.save_checkpoint()
+    exp_b2 = Experiment(cfg_b)
+    exp_b2.restore_checkpoint()
+    exp_b2.train_encoder(iters=3, eval_during=False)
+    p_b = jax.device_get(exp_b2.encoder_state.params)
+
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p_a, p_b)
+
+
 @pytest.mark.slow
 def test_device_data_gan_loop_smoke(tmp_path):
     """Two fused GAN cycles through the device-resident feed."""
