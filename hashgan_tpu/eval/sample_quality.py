@@ -43,11 +43,20 @@ def inception_score_from_logits(
 def conditional_accuracy(
     logits: jnp.ndarray, labels: jnp.ndarray, multi_label: bool = False
 ) -> float:
-    """Did the conditional generator hit its target class?"""
+    """Did the conditional generator hit its target class?
+
+    multi_label: per-sample IoU between the target multi-hot set and the
+    top-m scored classes, m = |target set| — threshold-free, so it works
+    for ANY monotone score scale (sigmoid aux logits AND the template
+    classifier's negative distances; a fixed ``> 0`` cut reads distance
+    scores as identically-empty predictions)."""
     logits, labels = np.asarray(logits), np.asarray(labels)
     if multi_label:
-        pred = logits > 0
         tgt = labels > 0.5
+        m = tgt.sum(axis=1)
+        # rank[i, c] = position of class c in row i's descending score order
+        rank = np.argsort(np.argsort(-logits, axis=1), axis=1)
+        pred = rank < m[:, None]
         inter = (pred & tgt).sum(axis=1)
         union = (pred | tgt).sum(axis=1)
         return float(np.mean(inter / np.maximum(union, 1)))

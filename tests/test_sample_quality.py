@@ -33,6 +33,29 @@ def test_conditional_accuracy():
     assert abs(conditional_accuracy(logits, labels) - 2 / 3) < 1e-9
 
 
+def test_conditional_accuracy_multilabel_topm_iou():
+    # Row 0: targets {0, 2}, top-2 scores at {0, 2} -> IoU 1.
+    # Row 1: targets {1}, top-1 score at class 3 -> IoU 0.
+    # Row 2: targets {0, 1, 3}, top-3 at {0, 1, 2} -> IoU 2/4.
+    logits = np.array([
+        [9.0, 1.0, 8.0, 0.0],
+        [2.0, 1.0, 0.0, 5.0],
+        [7.0, 6.0, 5.0, 4.0],
+    ])
+    labels = np.array([
+        [1.0, 0.0, 1.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [1.0, 1.0, 0.0, 1.0],
+    ])
+    got = conditional_accuracy(logits, labels, multi_label=True)
+    assert abs(got - (1.0 + 0.0 + 0.5) / 3) < 1e-9
+    # Threshold-free: a negative-distance score scale (template classifier)
+    # must behave identically to its shifted copy.
+    assert abs(
+        conditional_accuracy(logits - 100.0, labels, multi_label=True) - got
+    ) < 1e-9
+
+
 def test_report_with_real_models():
     from hashgan_tpu.models import Discriminator, Generator
 
