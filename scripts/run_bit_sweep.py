@@ -1,13 +1,18 @@
-"""CIFAR-protocol bit-width sweep: MAP@5000 at 16/24/32/48-bit codes.
+"""Bit-width sweep: the paper's 16/24/32/48-bit results-table shape.
 
 The reference's headline result table (SURVEY.md §0/§3.3; CVPR18 paper
 table 1, expected ref README results) reports CIFAR-10 MAP across code
 lengths 16/24/32/48.  This runner produces the same-shaped table on the
-synthetic CIFAR surrogate (real archives drop in via
-``DataConfig.cifar10_dir``, data/cifar10.py): encoder-only hash training
-(config-1 protocol) at the CIFAR retrieval geometry 5000 train / 1000
-query / 54000 database, evaluated at the paper's R=5000 for every bit
-width.
+synthetic surrogate: encoder-only hash training (config-1 protocol) at
+the CIFAR retrieval geometry 5000 train / 1000 query / 54000 database.
+
+CALIBRATION (measured, docs/BENCHMARKS.md): at 10 classes the synthetic
+task saturates EVERY width — 16-bit codes hit MAP 1.0000 — so a 10-class
+table carries no information about code capacity. The default therefore
+runs N_CLASSES=100 (50 train images/class, chance MAP 0.01) at R=1000,
+where capacity binds and the table is monotone in code length. Real
+CIFAR-10 recovers the paper's exact protocol via ``DataConfig.cifar10_dir``
+(data/cifar10.py) + ``N_CLASSES=10 R=5000``.
 
 One child process per bit width (the parent imports no jax — one
 axon-attached process at a time, CLAUDE.md), each with the
@@ -16,7 +21,8 @@ device-resident feed (data/device_data.py), so a full 4-point sweep is
 
 Usage:
   PYTHONPATH=/root/repo:$PYTHONPATH python scripts/run_bit_sweep.py
-Env: BITS="16,24,32,48", ITERS=20000, SMOKE=1 (tiny tunnel-free CPU run).
+Env: BITS="16,24,32,48", ITERS=20000, N_CLASSES=100, R=1000,
+SMOKE=1 (tiny tunnel-free CPU run).
 Artifacts: runs/bit_sweep/{bits<b>/, sweep.json, sweep.md}.
 """
 
@@ -31,6 +37,8 @@ import time
 
 BITS = tuple(int(b) for b in os.environ.get("BITS", "16,24,32,48").split(","))
 ITERS = int(os.environ.get("ITERS", 20_000))
+N_CLASSES = int(os.environ.get("N_CLASSES", 100))
+R = int(os.environ.get("R", 1000))
 SMOKE = os.environ.get("SMOKE", "") == "1"
 ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "runs",
@@ -44,12 +52,11 @@ def build_config(bits: int):
     cfg = get_config("config1")
     cfg = dataclasses.replace(
         cfg,
+        data=dataclasses.replace(cfg.data, n_classes=N_CLASSES),
         encoder=dataclasses.replace(
             cfg.encoder, bits=bits, iters=ITERS, decay_lr=True),
         index=dataclasses.replace(cfg.index, bits=bits),
-        # The paper's CIFAR protocol R (MAP@5000), not config1's quick
-        # R=1000 — the sweep is the results-table artifact.
-        eval=dataclasses.replace(cfg.eval, R=5000),
+        eval=dataclasses.replace(cfg.eval, R=R),
         train=dataclasses.replace(
             cfg.train, batch_size=128, epoch_shuffle=True, device_data=True,
             eval_every=5000, checkpoint_every=10_000, log_every=500,

@@ -11,7 +11,8 @@ import sys
 
 
 def _fresh(module: str, monkeypatch, **env):
-    for k in ("ENCODER_ARCH", "GAN_CYCLES", "ENC_ITERS", "SMOKE"):
+    for k in ("ENCODER_ARCH", "GAN_CYCLES", "ENC_ITERS", "SMOKE",
+              "BITS", "ITERS", "N_CLASSES", "R", "SCARCE_TRAIN"):
         monkeypatch.delenv(k, raising=False)
     for k, v in env.items():
         monkeypatch.setenv(k, v)
