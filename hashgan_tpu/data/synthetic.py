@@ -61,12 +61,24 @@ def make_synthetic(
     noise_scale: float = 40.0,
     seed: int = 0,
     templates: Optional[np.ndarray] = None,
+    device: bool = False,
 ) -> Tuple[SyntheticImageDataset, np.ndarray]:
     """Generate n images with class-dependent content.
 
     Returns (dataset, templates) so that multiple splits can share templates
     (train/query/database must come from the same "distribution").
+
+    ``device=True`` routes the heavy work (template composition + Gaussian
+    noise) through jax on the default backend — see _make_synthetic_device.
+    The two paths share template bits but draw labels/noise from different
+    (each deterministic) streams: distribution-equal, not bit-equal.
     """
+    if device:
+        return _make_synthetic_device(
+            n, n_classes, size=size, channels=channels,
+            multi_label=multi_label, noise_scale=noise_scale, seed=seed,
+            templates=templates,
+        )
     rng = np.random.default_rng(seed)
     if templates is None:
         templates = _class_templates(rng, n_classes, size, channels)
@@ -112,10 +124,127 @@ def make_synthetic(
     return ds, templates
 
 
+# Rows per PRNG block AND per device dispatch. FIXED by contract: the noise
+# key is fold_in(PRNGKey(seed), block_index), so the block size is part of
+# the keyed generation semantics — changing it changes the bits.
+_DEVICE_BLOCK = 4096
+# Per-split element count (n*H*W*C) above which make_splits auto-routes to
+# the device generator. 2^26 f32 normals cost ~95 s on this host's single
+# throttled vCPU (measured round 3: 17 s / 12M) — below that the legacy
+# numpy path is cheap enough and keeps its historical bits.
+_DEVICE_MIN_ELEMS = 1 << 26
+
+
+def _make_synthetic_device(
+    n: int,
+    n_classes: int,
+    size: int,
+    channels: int,
+    multi_label: bool,
+    noise_scale: float,
+    seed: int,
+    templates: Optional[np.ndarray],
+) -> Tuple[SyntheticImageDataset, np.ndarray]:
+    """Device-side split generation: composition + noise on the accelerator.
+
+    Run-scale generation is host-bound on this machine (the single throttled
+    vCPU needs ~28 min of standard_normal alone for a 100k x 64px split, and
+    VM re-images keep wiping the disk cache), so the heavy parts move to the
+    default jax backend: the per-item template gather/compose and the
+    Gaussian noise. Host keeps only the tiny parts — templates (bit-identical
+    to the numpy path, so the frozen-template classifier is path-independent)
+    and the label draw (vectorized numpy, its own deterministic stream).
+
+    Determinism: labels from default_rng(seed + 1_000_003); noise from
+    jax.random.fold_in(PRNGKey(seed), block) per fixed _DEVICE_BLOCK rows,
+    independent of dispatch chunking. jax threefry bits are platform-stable;
+    the f32 normal transform could differ by an ulp across backends, which
+    the clip->uint8 rounding makes visible only on exact .5 boundaries —
+    the bit-exact disk cache (written once, then always loaded) is the
+    cross-backend guarantee for resumed runs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if templates is None:
+        # Same stream position as the numpy path: a fresh rng's first draws.
+        templates = _class_templates(
+            np.random.default_rng(seed), n_classes, size, channels)
+
+    lrng = np.random.default_rng(seed + 1_000_003)
+    if multi_label:
+        # 1-3 active concepts; concept j>=1 overwrites spatial quadrant j
+        # (matching the numpy path's scene composition).
+        counts = lrng.integers(1, 4, size=n).astype(np.int32)
+        order = np.argsort(
+            lrng.random((n, n_classes)), axis=1
+        )[:, :3].astype(np.int32)
+        active = (np.arange(3)[None, :] < counts[:, None])
+        labels = np.zeros((n, n_classes), dtype=np.float32)
+        np.put_along_axis(labels, order, active.astype(np.float32), axis=1)
+        idx = order
+    else:
+        cls = lrng.integers(0, n_classes, size=n).astype(np.int32)
+        labels = np.eye(n_classes, dtype=np.float32)[cls]
+        counts = np.ones(n, dtype=np.int32)
+        idx = np.stack([cls, cls, cls], axis=1)
+
+    half = size // 2
+    # (y0, x0) for concepts 2 and 3 — quadrants 1 and 2 of the numpy path.
+    quads = ((0, half), (half, 0))
+
+    @jax.jit
+    def _block(tmpl, idx_b, counts_b, key_b):
+        base = tmpl[idx_b[:, 0]]
+        if multi_label:
+            iy = jnp.arange(size)[:, None]
+            ix = jnp.arange(size)[None, :]
+            for j, (y0, x0) in enumerate(quads, start=1):
+                region = ((iy >= y0) & (iy < y0 + half)
+                          & (ix >= x0) & (ix < x0 + half))
+                sel = ((counts_b > j)[:, None, None, None]
+                       & region[None, :, :, None])
+                base = jnp.where(sel, tmpl[idx_b[:, j]], base)
+        noise = jax.random.normal(
+            key_b, base.shape, dtype=jnp.float32) * jnp.float32(noise_scale)
+        return jnp.clip(base + noise, 0.0, 255.0).astype(jnp.uint8)
+
+    tmpl_dev = jax.device_put(templates)
+    key = jax.random.PRNGKey(seed)
+    images = np.empty((n, size, size, channels), dtype=np.uint8)
+    for b, lo in enumerate(range(0, n, _DEVICE_BLOCK)):
+        hi = min(lo + _DEVICE_BLOCK, n)
+        pad = _DEVICE_BLOCK - (hi - lo)
+        idx_b = np.pad(idx[lo:hi], ((0, pad), (0, 0)))
+        counts_b = np.pad(counts[lo:hi], (0, pad))
+        out = _block(tmpl_dev, idx_b, counts_b, jax.random.fold_in(key, b))
+        images[lo:hi] = np.asarray(out)[: hi - lo]
+    ds = SyntheticImageDataset(images=images, labels=labels,
+                               templates=templates)
+    return ds, templates
+
+
 _SPLITS = ("train", "query", "database")
 
 
-def _synth_cache_dir(cfg: DataConfig) -> Optional[str]:
+def _use_device_gen(cfg: DataConfig) -> bool:
+    """Route generation to the device when any split is host-infeasible.
+
+    HASHGAN_SYNTH_DEVICE=on/off overrides; default "auto" flips to the
+    device generator when the largest split crosses _DEVICE_MIN_ELEMS.
+    The decision is a pure function of (env, geometry), so resumed segments
+    of one run always pick the same path (and hence the same cache key)."""
+    mode = os.environ.get("HASHGAN_SYNTH_DEVICE", "auto").lower()
+    if mode in ("on", "1", "true"):
+        return True
+    if mode in ("off", "0", "false"):
+        return False
+    per_image = cfg.image_size * cfg.image_size * cfg.channels
+    largest = max(cfg.n_train, cfg.n_query, cfg.n_database)
+    return largest * per_image >= _DEVICE_MIN_ELEMS
+
+
+def _synth_cache_dir(cfg: DataConfig, device: bool = False) -> Optional[str]:
     """Cache directory for this generation geometry, or None if disabled.
 
     The dev host's single vCPU is ~100x slower than a normal core at bulk
@@ -139,6 +268,7 @@ def _synth_cache_dir(cfg: DataConfig) -> Optional[str]:
         f"v1_{cfg.image_size}x{cfg.channels}_c{cfg.n_classes}"
         f"_ml{int(cfg.multi_label)}_ns{cfg.noise_scale:g}_s{cfg.seed}"
         f"_n{cfg.n_train}-{cfg.n_query}-{cfg.n_database}"
+        + ("_dev1" if device else "")  # device path draws different bits
     )
     return os.path.join(os.path.abspath(root), key)
 
@@ -211,7 +341,8 @@ def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
         return {split: load_list_dataset(path, cfg)
                 for (split, _), path in lists.items()}
 
-    cache = _synth_cache_dir(cfg)
+    device = _use_device_gen(cfg)
+    cache = _synth_cache_dir(cfg, device=device)
     if cache and os.path.exists(os.path.join(cache, "database_labels.npy")):
         return _load_cached_splits(cache)
     templates = None
@@ -230,6 +361,7 @@ def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
             noise_scale=cfg.noise_scale,
             seed=cfg.seed + seed_off,
             templates=templates,
+            device=device,
         )
         out[split] = ds
     if cache:
