@@ -32,6 +32,94 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# v5e bf16 MXU peak (~197 TF/s dense) — the denominator for the MFU fields.
+# The scan's arithmetic is one ±1 matmul: 2*Q*N*bits FLOPs per batch.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _phase_breakdown(packed_q, gallery_g, canon_bg, n, k, qs, iters):
+    """Device-amortized per-phase latency of the exact MXU engine at this
+    shape: scan (Pallas fullkey kernel), +select (winner columns), +rescan,
+    full (= +merge). Mirrors mxu_topk's exact path stage-for-stage so the
+    subtractive split attributes time to the right stage; exactness of the
+    composed path is witnessed separately against the sort engine."""
+    from hashgan_tpu.ops.mxu_scan import (
+        _rescan_winner_columns,
+        _twolevel_topk_min,
+        build_key_base,
+        mxu_fullkey_scan,
+        mxu_topk,
+        unpack_to_pm1,
+    )
+
+    w, L, c = gallery_g.shape
+    bits = 32 * w
+    n_total = L * c
+    stride = n_total + 1
+    sub_g = 16
+    m = min(k, c)
+
+    def scan_only(pq):
+        full, sub = mxu_fullkey_scan(
+            unpack_to_pm1(pq), gallery_g, build_key_base(L, c, bits, n),
+            stride=stride, c_total=c, sub_g=sub_g,
+        )
+        return full[:, :1].sum().astype(jnp.float32) + sub[:, :1].sum()
+
+    def thru_select(pq):
+        full, sub = mxu_fullkey_scan(
+            unpack_to_pm1(pq), gallery_g, build_key_base(L, c, bits, n),
+            stride=stride, c_total=c, sub_g=sub_g,
+        )
+        q_n = pq.shape[0]
+        _, sids = jax.lax.top_k(-sub, m)
+        cand_pos = (
+            sids[:, :, None] * sub_g
+            + jax.lax.broadcasted_iota(jnp.int32, (q_n, m, sub_g), 2)
+        ).reshape(q_n, m * sub_g)
+        cand = jnp.take_along_axis(full, cand_pos, axis=1)
+        _, p = jax.lax.top_k(-cand, m)
+        cols = jnp.take_along_axis(cand_pos, p, axis=1)
+        return cols.sum().astype(jnp.float32)
+
+    def thru_rescan(pq):
+        full, sub = mxu_fullkey_scan(
+            unpack_to_pm1(pq), gallery_g, build_key_base(L, c, bits, n),
+            stride=stride, c_total=c, sub_g=sub_g,
+        )
+        q_n = pq.shape[0]
+        _, sids = jax.lax.top_k(-sub, m)
+        cand_pos = (
+            sids[:, :, None] * sub_g
+            + jax.lax.broadcasted_iota(jnp.int32, (q_n, m, sub_g), 2)
+        ).reshape(q_n, m * sub_g)
+        cand = jnp.take_along_axis(full, cand_pos, axis=1)
+        _, p = jax.lax.top_k(-cand, m)
+        cols = jnp.take_along_axis(cand_pos, p, axis=1)
+        rescan = _rescan_winner_columns(
+            pq, canon_bg, cols, L, c, w, stride, n
+        )
+        return rescan[:, :1].sum().astype(jnp.float32)
+
+    def full_path(pq):
+        return mxu_topk(
+            pq, gallery_g, canon_bg, valid_n=n, k=k
+        )[0].sum().astype(jnp.float32)
+
+    ts = {
+        "scan": _time_amortized(scan_only, qs, iters=iters),
+        "thru_select": _time_amortized(thru_select, qs, iters=iters),
+        "thru_rescan": _time_amortized(thru_rescan, qs, iters=iters),
+        "full": _time_amortized(full_path, qs, iters=iters),
+    }
+    return {
+        "scan_ms": 1e3 * ts["scan"],
+        "select_ms": 1e3 * max(ts["thru_select"] - ts["scan"], 0.0),
+        "rescan_ms": 1e3 * max(ts["thru_rescan"] - ts["thru_select"], 0.0),
+        "merge_ms": 1e3 * max(ts["full"] - ts["thru_rescan"], 0.0),
+        "full_ms": 1e3 * ts["full"],
+    }
+
 
 def _time_single(fn, iters: int) -> float:
     """Round-1 methodology: full-result host copy as the device sync."""
@@ -99,6 +187,9 @@ def run_scaling(
         )
         out[f"seconds_{mode}"] = dt
         out[f"{mode}_cmp_per_sec"] = float(q * n / dt)
+        out[f"{mode}_mfu"] = float(
+            2.0 * q * n * bits / dt / 1e12 / V5E_BF16_PEAK_TFLOPS
+        )
     return out
 
 
@@ -173,6 +264,21 @@ def run_bench(
     )
     _, im_t = scan_mxu(pq_ties)
     ties_match = bool((np.asarray(im_t) == np.asarray(ie_t)).all())
+    # Roofline context for the graded number (VERDICT r3 #4): achieved
+    # tensor-FLOP rate of the ±1 distance matmul, fraction of v5e bf16
+    # peak, and the per-phase latency split so MXU-utilization regressions
+    # are visible in the headline itself.
+    flops = 2.0 * q * n * bits
+    tf_per_sec = flops / dt_mxu_dev / 1e12
+    mfu = tf_per_sec / V5E_BF16_PEAK_TFLOPS
+    phases = None
+    if jax.default_backend() not in ("cpu",):
+        try:
+            phases = _phase_breakdown(
+                packed_q, gallery_g, canon_bg, n, k, qs, iters
+            )
+        except Exception as e:  # never let the roofline gate the headline
+            phases = {"error": repr(e)}
     if headline_cb is not None:
         # Surface the graded number the moment it is verified; everything
         # below is comparison detail a slow compile session should not gate.
@@ -183,6 +289,9 @@ def run_bench(
             "unit": "cmp/s",
             "vs_baseline": float(hl / 1e9),
             "verified": exact_match and ties_match,
+            "tf_per_sec": float(tf_per_sec),
+            "mfu": float(mfu),
+            "phase_ms": phases,
         })
     dt_mxu_approx_dev = _time_amortized(
         lambda pq: scan_mxu(pq, "approx")[0].sum().astype(jnp.float32),
@@ -249,6 +358,9 @@ def run_bench(
         "detail": {
             "bits": bits, "gallery": n, "queries": q, "k": k,
             "engine": "mxu_exact_device_amortized",
+            "tf_per_sec": float(tf_per_sec),
+            "mfu_vs_v5e_bf16_peak": float(mfu),
+            "phase_ms": phases,
             "seconds_mxu_exact_device": dt_mxu_dev,
             "seconds_mxu_approx_device": dt_mxu_approx_dev,
             "seconds_groupmin_exact_device": dt_groupmin_dev,

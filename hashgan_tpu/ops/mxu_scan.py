@@ -229,6 +229,115 @@ def _mxu_groupmin_kernel(q_ref, g_ref, base_ref, min_ref, gb_ref, *, half_l):
     min_ref[:] = jnp.min(key, axis=1)
 
 
+def _mxu_fullkey_kernel(q_ref, g_ref, base_ref, min_ref, gb_ref, *,
+                        half_l, stride, c_total):
+    """Like _mxu_groupmin_kernel, but the epilogue emits FINISHED int32
+    composite keys ``d*stride + global_index`` (distinct per item, padding
+    -> INT32_MAX) — so the host-side selection needs no elementwise decode
+    pass over the (Q, C) array (round-4: the _full_column_keys pass was
+    ~2.3 ms of the 14.2 ms 1M-query budget). Output: min (Tq, Cb) i32 full
+    keys. (A second per-subgroup-minima output was tried and REJECTED by
+    the Mosaic lowering — its (Tq, Cb/sub_g) block has a last dim < 128 —
+    so the caller takes the subgroup minima with one fused XLA reshape-min
+    over the key array instead; that pass is HBM-bound at ~35 MB, well
+    under 0.1 ms at the 1M shape.)
+
+    Decode stays f32-exact: local keys are < 2^24; the i32 arithmetic that
+    follows is bounded by the caller's rescan-key assert (< 2^31)."""
+    w_words = g_ref.shape[0]
+    L = g_ref.shape[1]
+    cb = g_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)  # unpack once per gallery block
+    def _unpack():
+        for w in range(w_words):  # static unroll
+            gw = g_ref[w]                                    # (L, Cb) u32
+            bitpos = jax.lax.broadcasted_iota(
+                jnp.uint32, (32, L, cb), 0
+            )
+            bits = (gw[None, :, :] >> bitpos) & jnp.uint32(1)
+            pm = (bits.astype(jnp.int32) * 2 - 1).astype(
+                jnp.float32
+            ).astype(jnp.bfloat16)
+            gb_ref[w * 32 : (w + 1) * 32, :] = pm.reshape(32, L * cb)
+
+    dot = jnp.dot(q_ref[:], gb_ref[:], preferred_element_type=jnp.float32)
+    key = base_ref[:][None, :, :] - dot.reshape(
+        dot.shape[0], L, cb
+    ) * half_l
+    colmin = jnp.min(key, axis=1).astype(jnp.int32)      # (Tq, Cb) local keys
+    is_pad = colmin >= jnp.int32(PAD_PENALTY)
+    if L & (L - 1) == 0:  # L is a power of two in every layout we build
+        shift = L.bit_length() - 1
+        d = jax.lax.shift_right_logical(colmin, shift)
+        s = jnp.bitwise_and(colmin, jnp.int32(L - 1))
+    else:
+        d = colmin // L
+        s = colmin % L
+    cols = (pl.program_id(0) * cb
+            + jax.lax.broadcasted_iota(jnp.int32, colmin.shape, 1))
+    full = d * jnp.int32(stride) + s * jnp.int32(c_total) + cols
+    min_ref[:] = jnp.where(is_pad, INT32_MAX, full)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "c_total", "query_tile", "col_block",
+                     "sub_g", "interpret"),
+)
+def mxu_fullkey_scan(
+    q_pm1: jnp.ndarray,
+    gallery_g: jnp.ndarray,
+    key_base: jnp.ndarray,
+    stride: int,
+    c_total: int,
+    query_tile: int = 128,
+    col_block: int = 128,
+    sub_g: int = 16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q, B) ±1 x (W, L, C) packed -> ((Q, C) i32 full composite keys,
+    (Q, C // sub_g) i32 subgroup minima). Exact-path variant of
+    mxu_groupmin_scan (which still serves approx mode + the pm8 path)."""
+    q, b = q_pm1.shape
+    w, L, c = gallery_g.shape
+    assert b == 32 * w, (b, w)
+    assert c % col_block == 0, (c, col_block)
+    assert col_block % sub_g == 0, (col_block, sub_g)
+    q_pad = pl.cdiv(q, query_tile) * query_tile
+    if q_pad != q:
+        q_pm1 = jnp.pad(q_pm1, ((0, q_pad - q), (0, 0)))
+    kernel = functools.partial(
+        _mxu_fullkey_kernel, half_l=float(L) / 2.0, stride=stride,
+        c_total=c_total,
+    )
+    full = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
+        grid=(c // col_block, q_pad // query_tile),
+        in_specs=[
+            pl.BlockSpec((query_tile, b), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, L, col_block), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, col_block), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((query_tile, col_block), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((b, L * col_block), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(q_pm1.astype(jnp.bfloat16), gallery_g, key_base)
+    full = full[:q]
+    # Subgroup minima via one fused XLA reshape-min (see kernel docstring
+    # for why this is not a second kernel output). Distinct-key property is
+    # inherited: each minimum IS one of the distinct full keys.
+    sub = jnp.min(full.reshape(q, c // sub_g, sub_g), axis=2)
+    return full, sub
+
+
 @functools.partial(
     jax.jit, static_argnames=("query_tile", "col_block", "interpret")
 )
@@ -387,6 +496,46 @@ def mxu_topk(
     # engine.
     assert (bits + 1) * stride + n_total < 2**31, "rescan key overflow"
 
+    kk = min(k, n_total)
+    m = min(kk, c)  # winner columns per query (capped by column count)
+
+    if (mode == "exact" and gallery_pm8 is None):
+        # Round-4 exact fast path: the kernel epilogue emits finished int32
+        # full composite keys AND subgroup minima, so winner-column
+        # selection is two narrow top_k calls + a gather — no elementwise
+        # pass over the (Q, C) key array (_full_column_keys) remains.
+        sub_g = 16
+        full_min, submin = mxu_fullkey_scan(
+            unpack_to_pm1(packed_q), gallery_g,
+            build_key_base(L, c, bits, valid_n),
+            stride=stride, c_total=c, query_tile=query_tile,
+            col_block=col_block, sub_g=sub_g, interpret=interpret,
+        )
+        n_sub = c // sub_g
+        if n_sub < m or c <= 4 * m or m * sub_g >= c:
+            # Narrow galleries: the subgroup level cannot shrink the
+            # problem; one direct top_k is cheaper (cf. _twolevel_topk_min).
+            _, cols = jax.lax.top_k(-full_min, m)
+        else:
+            # Rank bound (module doc): every top-m column key lives in a
+            # subgroup whose min is among the m smallest subgroup minima.
+            _, sids = jax.lax.top_k(-submin, m)               # (Q, m)
+            cand_pos = (
+                sids[:, :, None] * sub_g
+                + jax.lax.broadcasted_iota(jnp.int32, (q, m, sub_g), 2)
+            ).reshape(q, m * sub_g)
+            cand = jnp.take_along_axis(full_min, cand_pos, axis=1)
+            _, p = jax.lax.top_k(-cand, m)
+            cols = jnp.take_along_axis(cand_pos, p, axis=1)
+        rescan = _rescan_winner_columns(
+            packed_q, canon_bg_flat, cols, L, c, w, stride, valid_n
+        )
+        final, _ = _twolevel_topk_min(rescan, kk)
+        is_pad = final == INT32_MAX
+        d = jnp.where(is_pad, bits + 1, final // stride)
+        i = jnp.where(is_pad, n_total, final % stride)
+        return d, i
+
     if gallery_pm8 is not None:
         if gallery_pm8.dtype == jnp.int8:
             qv = unpack_to_pm8(packed_q)
@@ -405,8 +554,6 @@ def mxu_topk(
             q_pm1, gallery_g, key_base,
             query_tile=query_tile, col_block=col_block, interpret=interpret,
         )
-    kk = min(k, n_total)
-    m = min(kk, c)  # winner columns per query (capped by column count)
 
     if mode == "approx":
         # approx_min_k wants floats; (d, s) keys are < 2^23 so the f32

@@ -346,3 +346,40 @@ def test_twolevel_topk_min_with_sentinel_dups():
         finite = np.sort(keys[r][keys[r] != INT32_MAX])
         np.testing.assert_array_equal(vals[r][:n_valid], finite)
         assert (vals[r][n_valid:] == INT32_MAX).all()
+
+
+def test_fullkey_scan_matches_groupmin_scan_plus_decode():
+    """Round-4 kernel epilogue (mxu_fullkey_scan): the in-kernel int32 full
+    composite keys and subgroup minima must equal the legacy two-step
+    construction (mxu_groupmin_scan -> _full_column_keys) bit-for-bit."""
+    from hashgan_tpu.ops.mxu_scan import (
+        _full_column_keys,
+        build_key_base,
+        mxu_fullkey_scan,
+        mxu_groupmin_scan,
+        unpack_to_pm1,
+    )
+
+    rng = np.random.default_rng(11)
+    bits, n, q = 64, 700, 12
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.5, -1, 1).astype(np.float32)
+    packed = pack_codes_np(codes)
+    grouped = to_grouped_layout(packed, groups=8, col_multiple=16)
+    w, L, c = grouped.shape
+    stride = L * c + 1
+    pq = jnp.asarray(pack_codes_np(
+        np.where(rng.uniform(size=(q, bits)) < 0.5, -1, 1).astype(np.float32)))
+    q_pm1 = unpack_to_pm1(pq)
+    kb = build_key_base(L, c, bits, n)
+    for valid_n in (n, L * c):  # with and without padding columns
+        kbv = build_key_base(L, c, bits, valid_n)
+        min1 = mxu_groupmin_scan(q_pm1, jnp.asarray(grouped), kbv,
+                                 query_tile=8, col_block=16, interpret=True)
+        want_full = np.asarray(_full_column_keys(min1, L, c, stride))
+        full, sub = mxu_fullkey_scan(
+            q_pm1, jnp.asarray(grouped), kbv, stride=stride, c_total=c,
+            query_tile=8, col_block=16, sub_g=4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(full), want_full)
+        np.testing.assert_array_equal(
+            np.asarray(sub),
+            want_full.reshape(q, c // 4, 4).min(axis=2))
