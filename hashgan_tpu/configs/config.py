@@ -59,6 +59,25 @@ class GanConfig:
     ema_decay: float = 0.0                # generator weight EMA (0 = off)
     # bf16 matmuls on MXU; params + loss stay f32.
     compute_dtype: str = "bfloat16"
+    # --- stage-I convergence knobs (round 4; the 64px multi-label
+    # direction plateaued at |W| 24-87 across three rounds of budgets —
+    # docs/BENCHMARKS.md "scarce multi-label" rows) ---
+    d_layernorm: bool = False             # LayerNorm in critic res-blocks
+                                          # (SURVEY.md C7: the reference's
+                                          # critic normalization under GP)
+    acgan_fake_scale: float = 0.0         # aux CE on FAKE images in the
+                                          # critic loss (full-ACGAN D); 0
+                                          # keeps the reference's real-only
+                                          # aux training
+    # Per-block channel-width multipliers (x dim). None = constant width
+    # (the 32px reference net). G: len n_up+1 (input 4x4 stage + each
+    # up-block); D: len n_blocks (block_in, extra..., block_down, a, b).
+    g_width_mults: Optional[Tuple[int, ...]] = None
+    d_width_mults: Optional[Tuple[int, ...]] = None
+    # Normalize multi-hot condition vectors to unit sum before the label
+    # embedding and CondBN tables (one-hot unaffected): keeps conditioning
+    # magnitude independent of the number of active concepts.
+    cond_label_norm: bool = False
 
 
 @dataclass(frozen=True)
@@ -243,12 +262,40 @@ def _synthetic_1m_scan() -> Config:
     )
 
 
+def _cifar10_encoder_only_cal() -> Config:
+    """config1 on a CALIBRATED synthetic task (VERDICT r3 #3): the 10-class
+    task saturates MAP at any code length (measured 1.0 even at 16 bits —
+    CLAUDE.md training facts), so the preset metric could not move in either
+    direction. 100 classes at the same geometry lands mid-range like the
+    paper's 0.73-0.84 CIFAR band (bit-sweep measurements:
+    docs/artifacts/bit_sweep_50k.json), where deltas are visible."""
+    cfg = _cifar10_encoder_only()
+    return dataclasses.replace(
+        cfg, name="cifar10_32bit_encoder_only_cal",
+        data=dataclasses.replace(cfg.data, n_classes=100),
+    )
+
+
+def _nuswide_gan_cal() -> Config:
+    """config3 on a CALIBRATED multi-label task: 21 concepts saturate both
+    arms at the full split (cotrain 0.9999 / realonly 1.0000 —
+    docs/artifacts/config3_horizon_summary.json); 100 concepts at the same
+    geometry keeps the protocol metric mid-range."""
+    cfg = _nuswide_gan()
+    return dataclasses.replace(
+        cfg, name="nuswide_64bit_gan_cal",
+        data=dataclasses.replace(cfg.data, n_classes=100),
+    )
+
+
 _PRESETS = {
     "cifar10_32bit_encoder_only": _cifar10_encoder_only,
     "cifar10_48bit_gan": _cifar10_gan,
     "nuswide_64bit_gan": _nuswide_gan,
     "imagenet100_64bit": _imagenet100,
     "synthetic_1m_128bit_scan": _synthetic_1m_scan,
+    "cifar10_32bit_encoder_only_cal": _cifar10_encoder_only_cal,
+    "nuswide_64bit_gan_cal": _nuswide_gan_cal,
 }
 
 # Aliases matching BASELINE.json config numbering.
@@ -257,6 +304,8 @@ _PRESETS["config2"] = _cifar10_gan
 _PRESETS["config3"] = _nuswide_gan
 _PRESETS["config4"] = _imagenet100
 _PRESETS["config5"] = _synthetic_1m_scan
+_PRESETS["config1_cal"] = _cifar10_encoder_only_cal
+_PRESETS["config3_cal"] = _nuswide_gan_cal
 
 
 def list_presets() -> Tuple[str, ...]:

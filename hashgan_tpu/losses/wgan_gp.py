@@ -58,12 +58,21 @@ def critic_loss_fn(
     labels: jnp.ndarray,
     gp_lambda: float = 10.0,
     acgan_scale: float = 1.0,
+    acgan_fake_scale: float = 0.0,
     multi_label: bool = False,
 ):
     """Full critic loss. ``d_apply`` maps images -> (score, aux_logits) with
-    params already bound (differentiate w.r.t. params outside)."""
+    params already bound (differentiate w.r.t. params outside).
+
+    ``acgan_fake_scale`` > 0 additionally trains the aux head on FAKE
+    images against G's conditioning labels (full-ACGAN D). With real-only
+    aux training the head is free to become adversarially confident on
+    off-manifold samples — measured on 64px multi-label stage-I as
+    g_aux_ce ~ 58 (worse than the 14.6 all-zero-logit chance level) while
+    d_aux_ce ~ 0.003 on real; training it on fakes keeps its decision
+    surface meaningful where G lives."""
     d_real, aux_real = d_apply(real)
-    d_fake, _ = d_apply(fake)
+    d_fake, aux_fake = d_apply(fake)
     wass = d_fake.mean() - d_real.mean()
     gp = gradient_penalty(lambda x: d_apply(x)[0], rng, real, fake)
     ac = aux_classification_loss(aux_real, labels, multi_label)
@@ -74,6 +83,11 @@ def critic_loss_fn(
         "grad_penalty": gp,
         "d_aux_ce": ac,
     }
+    if acgan_fake_scale:
+        ac_fake = aux_classification_loss(aux_fake, labels, multi_label)
+        loss = loss + acgan_fake_scale * ac_fake
+        metrics["d_loss"] = loss
+        metrics["d_aux_ce_fake"] = ac_fake
     return loss, metrics
 
 

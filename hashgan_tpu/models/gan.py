@@ -87,22 +87,42 @@ class Generator(nn.Module):
     label_embed_dim: int = 32
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+    # Per-stage width multipliers (x dim): entry 0 = the 4x4 input stage,
+    # entries 1..n_up = each up-block's output width. None = constant
+    # width (parameter tree identical to pre-round-4 checkpoints). The
+    # staged-width form (e.g. (8,4,2,1) at 64px) is the classic 64px
+    # WGAN-GP geometry: capacity concentrated at low resolution.
+    width_mults: Optional[tuple] = None
+    # Normalize condition vectors to unit sum (multi-hot: magnitude of the
+    # CondBN gain/bias and the label embedding no longer scales with the
+    # number of active concepts; one-hot: identity).
+    cond_label_norm: bool = False
 
     @nn.compact
     def __call__(
         self, z: jnp.ndarray, labels: jnp.ndarray, train: bool = True
     ) -> jnp.ndarray:
         n_up = int(math.log2(self.image_size // 4))
+        mults = self.width_mults or (1,) * (n_up + 1)
+        assert len(mults) == n_up + 1, (
+            f"width_mults needs {n_up + 1} entries at {self.image_size}px, "
+            f"got {len(mults)}"
+        )
+        if self.cond_label_norm:
+            labels = labels.astype(jnp.float32)
+            labels = labels / jnp.maximum(
+                labels.sum(axis=-1, keepdims=True), 1.0
+            )
         if self.label_embed_dim:
             emb = nn.Dense(self.label_embed_dim, name="label_embed")(
                 labels.astype(jnp.float32)
             )
             z = jnp.concatenate([z, emb], axis=-1)
-        x = nn.Dense(4 * 4 * self.dim, dtype=self.dtype, name="input")(z)
-        x = x.reshape(-1, 4, 4, self.dim)
+        x = nn.Dense(4 * 4 * self.dim * mults[0], dtype=self.dtype, name="input")(z)
+        x = x.reshape(-1, 4, 4, self.dim * mults[0])
         for i in range(n_up):
             x = GenResBlock(
-                self.dim, self.n_labels,
+                self.dim * mults[i + 1], self.n_labels,
                 axis_name=self.axis_name, dtype=self.dtype, name=f"block{i}",
             )(x, labels, train=train)
         x = nn.BatchNorm(
@@ -167,27 +187,44 @@ class Discriminator(nn.Module):
     dim: int = 128
     use_layernorm: bool = False
     dtype: Dtype = jnp.float32
+    # Per-block width multipliers (x dim), one per res-block in call order
+    # (block_in, extra..., block_down, block_a, block_b). None = constant
+    # width (pre-round-4 parameter tree). Mirror of Generator.width_mults:
+    # widths grow as resolution shrinks.
+    width_mults: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         n_down_extra = int(math.log2(self.image_size // 32))  # 0 @32, 1 @64
+        n_blocks = 4 + n_down_extra
+        mults = self.width_mults or (1,) * n_blocks
+        assert len(mults) == n_blocks, (
+            f"width_mults needs {n_blocks} entries at {self.image_size}px, "
+            f"got {len(mults)}"
+        )
         h = x.astype(self.dtype)
-        h = DiscResBlock(self.dim, first=True, dtype=self.dtype, name="block_in")(h)
+        h = DiscResBlock(
+            self.dim * mults[0], first=True, dtype=self.dtype, name="block_in"
+        )(h)
         for i in range(n_down_extra):
             h = DiscResBlock(
-                self.dim, down=True, use_layernorm=self.use_layernorm,
+                self.dim * mults[1 + i], down=True,
+                use_layernorm=self.use_layernorm,
                 dtype=self.dtype, name=f"block_extra{i}",
             )(h)
         h = DiscResBlock(
-            self.dim, down=True, use_layernorm=self.use_layernorm,
+            self.dim * mults[1 + n_down_extra], down=True,
+            use_layernorm=self.use_layernorm,
             dtype=self.dtype, name="block_down",
         )(h)
         h = DiscResBlock(
-            self.dim, use_layernorm=self.use_layernorm, dtype=self.dtype,
+            self.dim * mults[2 + n_down_extra],
+            use_layernorm=self.use_layernorm, dtype=self.dtype,
             name="block_a",
         )(h)
         h = DiscResBlock(
-            self.dim, use_layernorm=self.use_layernorm, dtype=self.dtype,
+            self.dim * mults[3 + n_down_extra],
+            use_layernorm=self.use_layernorm, dtype=self.dtype,
             name="block_b",
         )(h)
         h = nn.relu(h)

@@ -66,6 +66,7 @@ def make_gan_cycle(generator, discriminator, cfg: Config) -> Callable:
                     rgp, real, fake, labs,
                     gp_lambda=gan.gp_lambda,
                     acgan_scale=gan.acgan_scale,
+                    acgan_fake_scale=gan.acgan_fake_scale,
                     multi_label=multi,
                 )
 

@@ -65,10 +65,13 @@ class Experiment:
         self.generator = Generator(
             image_size=d.image_size, n_labels=d.n_classes, dim=cfg.gan.dim,
             out_channels=d.channels, dtype=gdtype,
+            width_mults=cfg.gan.g_width_mults,
+            cond_label_norm=cfg.gan.cond_label_norm,
         )
         self.discriminator = Discriminator(
             image_size=d.image_size, n_labels=d.n_classes, dim=cfg.gan.dim,
-            dtype=gdtype,
+            dtype=gdtype, use_layernorm=cfg.gan.d_layernorm,
+            width_mults=cfg.gan.d_width_mults,
         )
 
         rng = jax.random.key(cfg.train.seed)
@@ -631,36 +634,59 @@ class Experiment:
             metrics = {f"map_at_{cfg.eval.R}_tie_aware": m,
                        f"precision_at_h{cfg.eval.precision_radius}": p}
             if cfg.eval.pr_curve:
-                prec, rec = pr_curve_from_hist(
-                    _np.asarray(n_hist), _np.asarray(r_hist)
-                )
-                _np.savez(os.path.join(self.workdir, "pr_curve.npz"),
-                          precision=prec, recall=rec)
+                self._dump_curves(_np.asarray(n_hist), _np.asarray(r_hist))
         return metrics
 
     def _dump_pr_curve(self, pq, pg, qlab, dlab) -> None:
         from hashgan_tpu.eval import device_distance_histograms
-        from hashgan_tpu.eval.streaming import pr_curve_from_hist
         import numpy as _np
 
         n_hist, r_hist = device_distance_histograms(pq, pg.T, qlab, dlab)
-        prec, rec = pr_curve_from_hist(_np.asarray(n_hist), _np.asarray(r_hist))
+        self._dump_curves(_np.asarray(n_hist), _np.asarray(r_hist))
+
+    def _dump_curves(self, n_hist, r_hist) -> None:
+        """Ranking-curve artifacts from distance histograms: the PR curve
+        over Hamming radii (pr_curve.*) and the precision@top-N curve
+        (precision_at_topn.* — the reference evaluator family's
+        precision-vs-returned-count plot, SURVEY.md C16)."""
+        from hashgan_tpu.eval.streaming import (
+            pr_curve_from_hist,
+            precision_at_topn_from_hist,
+        )
+        import numpy as _np
+
+        prec, rec = pr_curve_from_hist(n_hist, r_hist)
         _np.savez(os.path.join(self.workdir, "pr_curve.npz"),
                   precision=prec, recall=rec)
+        # log-spaced cutoffs 1..R (dense enough to plot, cheap to store)
+        R = max(2, self.cfg.eval.R)
+        topns = _np.unique(_np.round(
+            _np.logspace(0.0, _np.log10(R), 64)).astype(_np.int64))
+        p_topn = precision_at_topn_from_hist(n_hist, r_hist, topns)
+        _np.savez(os.path.join(self.workdir, "precision_at_topn.npz"),
+                  topn=topns, precision=p_topn)
         try:
             import matplotlib
 
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
 
-            fig, ax = plt.subplots(figsize=(5, 4))
-            ax.plot(rec, prec)
-            ax.set_xlabel("recall")
-            ax.set_ylabel("precision")
-            ax.set_title(f"{self.cfg.name} PR over Hamming radii")
-            fig.tight_layout()
-            fig.savefig(os.path.join(self.workdir, "pr_curve.jpg"))
-            plt.close(fig)
+            for fname, xs, ys, xlabel, title, logx in (
+                ("pr_curve.jpg", rec, prec, "recall",
+                 f"{self.cfg.name} PR over Hamming radii", False),
+                ("precision_at_topn.jpg", topns, p_topn, "top-N returned",
+                 f"{self.cfg.name} precision@top-N", True),
+            ):
+                fig, ax = plt.subplots(figsize=(5, 4))
+                ax.plot(xs, ys)
+                if logx:
+                    ax.set_xscale("log")
+                ax.set_xlabel(xlabel)
+                ax.set_ylabel("precision")
+                ax.set_title(title)
+                fig.tight_layout()
+                fig.savefig(os.path.join(self.workdir, fname))
+                plt.close(fig)
         except Exception:
             pass
 
@@ -673,11 +699,61 @@ class Experiment:
             state["gan"] = self.gan_state
         return state
 
+    def _data_provenance(self) -> str:
+        """Identifier of the exact data bits this run trains on.
+
+        Synthetic runs: the keyed generation id INCLUDING which generator
+        ran (numpy vs device ``_dev1`` — distribution-equal, bit-different;
+        data/synthetic.synth_generation_key). Recorded beside checkpoints so
+        a resume that would silently regenerate different bits (e.g. a cache
+        wipe flipping the auto-routing) fails loudly instead."""
+        d = self.cfg.data
+        if d.cifar10_dir:
+            return f"cifar10:{os.path.abspath(d.cifar10_dir)}"
+        if d.train_list:
+            return f"lists:{os.path.abspath(d.train_list)}"
+        from hashgan_tpu.data.synthetic import synth_generation_key
+
+        return "synth:" + synth_generation_key(d)
+
+    _PROVENANCE_FILE = "data_provenance.json"
+
+    def _write_provenance(self) -> None:
+        import json as _json
+
+        path = os.path.join(self.workdir, self._PROVENANCE_FILE)
+        with open(path, "w") as f:
+            _json.dump({"provenance": self._data_provenance()}, f)
+
+    def _check_provenance(self) -> None:
+        import json as _json
+
+        path = os.path.join(self.workdir, self._PROVENANCE_FILE)
+        try:
+            with open(path) as f:
+                saved = _json.load(f)["provenance"]
+        except (OSError, ValueError, KeyError):
+            # Legacy checkpoint without the record: adopt the current path.
+            self._write_provenance()
+            return
+        current = self._data_provenance()
+        if saved != current:
+            raise RuntimeError(
+                "checkpoint data-provenance mismatch: this run was trained "
+                f"on {saved!r} but the current config/environment would "
+                f"feed {current!r} (different bits — e.g. a synth-cache "
+                "wipe flipped the numpy/device generation auto-routing). "
+                "Resuming would silently change the training data mid-run. "
+                "Pin HASHGAN_SYNTH_DEVICE=on/off to match the recorded "
+                "path, or start a fresh workdir."
+            )
+
     def save_checkpoint(self) -> None:
         step = int(jax.device_get(self.encoder_state.step)) + (
             int(jax.device_get(self.gan_state.step)) if self.gan_state else 0
         )
         self.ckpt.save(step, jax.device_get(self._ckpt_state()))
+        self._write_provenance()
 
     def restore_checkpoint(self) -> bool:
         """Restore the latest checkpoint, migrating across known
@@ -744,6 +820,7 @@ class Experiment:
             raise err
         if restored is None:
             return False
+        self._check_provenance()
         if fixed_ema and restored["gan"].g_ema_stats is None:
             restored["gan"] = restored["gan"].replace(
                 g_ema_stats=jax.tree_util.tree_map(

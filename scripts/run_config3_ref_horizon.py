@@ -70,6 +70,11 @@ SMOKE = os.environ.get("SMOKE", "") == "1"
 # (measured: cotrain 0.99999 by step 5k), so the delta only has room to
 # exist when labels are scarce. 0 = full protocol split.
 SCARCE_TRAIN = int(os.environ.get("SCARCE_TRAIN", 0))
+# GAN_JSON='{"gp_lambda": 50.0, "d_layernorm": true, ...}': stage-I knob
+# overrides (round-4 convergence sweep winners —
+# runs/config3_stage1_sweep/summary.json); lists become tuples so
+# width-mult overrides land as the dataclass expects.
+GAN_JSON = os.environ.get("GAN_JSON", "")
 ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "runs",
                  "config3_ref_horizon"
@@ -92,7 +97,11 @@ def base_config(arm: str):
             cfg.encoder, iters=ENC_ITERS, decay_lr=True, arch=ENCODER_ARCH,
             **_ARCH_ENC_OVERRIDES[ENCODER_ARCH],
         ),
-        gan=dataclasses.replace(cfg.gan, iters=GAN_CYCLES, ema_decay=0.999),
+        gan=dataclasses.replace(
+            cfg.gan, iters=GAN_CYCLES, ema_decay=0.999,
+            **({k: tuple(v) if isinstance(v, list) else v
+                for k, v in json.loads(GAN_JSON).items()}
+               if GAN_JSON else {})),
         train=dataclasses.replace(
             cfg.train, batch_size=64,
             eval_every=5000, checkpoint_every=10_000, log_every=500,
