@@ -175,6 +175,11 @@ def _make_synthetic_device(
     if multi_label:
         # 1-3 active concepts; concept j>=1 overwrites spatial quadrant j
         # (matching the numpy path's scene composition).
+        assert n_classes >= 3, (
+            f"multi-label device generation draws 3 concept slots per image "
+            f"and needs n_classes >= 3 (got {n_classes}); use the numpy path "
+            "(HASHGAN_SYNTH_DEVICE=off) for degenerate label spaces"
+        )
         counts = lrng.integers(1, 4, size=n).astype(np.int32)
         order = np.argsort(
             lrng.random((n, n_classes)), axis=1
@@ -244,6 +249,22 @@ def _use_device_gen(cfg: DataConfig) -> bool:
     return largest * per_image >= _DEVICE_MIN_ELEMS
 
 
+def synth_generation_key(cfg: DataConfig, device: Optional[bool] = None) -> str:
+    """Stable identifier of the exact bit stream a synthetic geometry
+    generates: the keyed fields plus WHICH generator ran (numpy vs the
+    ``_dev1`` device path — distribution-equal but bit-different). Used as
+    the cache directory name and as checkpoint data-provenance (a resumed
+    run must see the same bits; see Experiment.restore_checkpoint)."""
+    if device is None:
+        device = _use_device_gen(cfg)
+    return (
+        f"v1_{cfg.image_size}x{cfg.channels}_c{cfg.n_classes}"
+        f"_ml{int(cfg.multi_label)}_ns{cfg.noise_scale:g}_s{cfg.seed}"
+        f"_n{cfg.n_train}-{cfg.n_query}-{cfg.n_database}"
+        + ("_dev1" if device else "")  # device path draws different bits
+    )
+
+
 def _synth_cache_dir(cfg: DataConfig, device: bool = False) -> Optional[str]:
     """Cache directory for this generation geometry, or None if disabled.
 
@@ -264,13 +285,9 @@ def _synth_cache_dir(cfg: DataConfig, device: bool = False) -> Optional[str]:
             os.path.dirname(os.path.abspath(__file__)), "..", "..", "runs",
             "synth_cache",
         )
-    key = (
-        f"v1_{cfg.image_size}x{cfg.channels}_c{cfg.n_classes}"
-        f"_ml{int(cfg.multi_label)}_ns{cfg.noise_scale:g}_s{cfg.seed}"
-        f"_n{cfg.n_train}-{cfg.n_query}-{cfg.n_database}"
-        + ("_dev1" if device else "")  # device path draws different bits
+    return os.path.join(
+        os.path.abspath(root), synth_generation_key(cfg, device=device)
     )
-    return os.path.join(os.path.abspath(root), key)
 
 
 def _load_cached_splits(path: str) -> Dict[str, SyntheticImageDataset]:
@@ -343,6 +360,19 @@ def make_splits(cfg: DataConfig) -> Dict[str, SyntheticImageDataset]:
 
     device = _use_device_gen(cfg)
     cache = _synth_cache_dir(cfg, device=device)
+    if device and not cache:
+        import warnings
+
+        # The device path's f32 normal->uint8 rounding can differ by an ulp
+        # across backends; the bit-exact disk cache (written once, then
+        # always loaded) is what makes resumed runs see identical bits.
+        warnings.warn(
+            "device-side synthetic generation with HASHGAN_SYNTH_CACHE=off: "
+            "regenerated splits are only guaranteed bit-identical on the "
+            "same backend — resumed runs that switch backends may train on "
+            "different data bits. Re-enable the cache for resumable runs.",
+            stacklevel=2,
+        )
     if cache and os.path.exists(os.path.join(cache, "database_labels.npy")):
         return _load_cached_splits(cache)
     templates = None

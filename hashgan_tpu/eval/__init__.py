@@ -11,6 +11,7 @@ from hashgan_tpu.eval.map import (  # noqa: F401
 from hashgan_tpu.eval.streaming import (  # noqa: F401
     device_distance_histograms,
     pr_curve_from_hist,
+    precision_at_topn_from_hist,
     precision_at_radius_from_hist,
     tie_aware_map,
 )

@@ -191,3 +191,59 @@ def pr_curve_from_hist(
     precision = np.where(n_cum > 0, r_cum / np.maximum(n_cum, 1.0), 0.0)
     recall = r_cum / total_rel
     return precision.mean(axis=0), recall.mean(axis=0)
+
+
+def precision_at_topn_from_hist(
+    n_hist: np.ndarray, r_hist: np.ndarray, topns: np.ndarray
+) -> np.ndarray:
+    """Expected precision@N over the Hamming ranking, per returned-count N
+    (the reference evaluator family's precision-vs-top-N curve, SURVEY.md
+    C16 — expected ``util.py::MAPs`` — alongside P-R over radii).
+
+    Tie-aware like tie_aware_map: within a distance bin the expected number
+    of relevant items among the bin's first m ranked positions is m * r/n
+    (hypergeometric mean), so E[relevant in top N] = sum over bins of
+    min(n, max(N - n0, 0)) * r/n. Precision divides by the number actually
+    returned (min(N, gallery size)). Mean across queries.
+
+    topns: 1-D int array of cutoffs; returns same-shape float array."""
+    n = np.asarray(n_hist, dtype=np.float64)
+    r = np.asarray(r_hist, dtype=np.float64)
+    n0 = np.cumsum(n, axis=1) - n                        # (Q, B+1)
+    p_rel = np.where(n > 0, r / np.maximum(n, 1.0), 0.0)
+    total = n.sum(axis=1, keepdims=True)                 # (Q, 1)
+    topns = np.asarray(topns, dtype=np.int64)
+    # (Q, B+1, T) broadcast: positions of each bin inside each cutoff.
+    m = np.clip(topns[None, None, :] - n0[:, :, None], 0.0, n[:, :, None])
+    exp_rel = (m * p_rel[:, :, None]).sum(axis=1)        # (Q, T)
+    returned = np.minimum(topns[None, :], np.maximum(total, 1.0))
+    return (exp_rel / returned).mean(axis=0)
+
+
+def precision_at_topn_np(
+    dist: np.ndarray, rel: np.ndarray, topns: np.ndarray
+) -> np.ndarray:
+    """Position-loop oracle of precision_at_topn_from_hist: for each query,
+    walk the distance-sorted gallery and count expected relevant items in
+    the top N, spreading each tie bin's relevants uniformly."""
+    q, n_items = dist.shape
+    topns = np.asarray(topns, dtype=np.int64)
+    out = np.zeros((q, len(topns)))
+    for qi in range(q):
+        order = np.argsort(dist[qi], kind="stable")
+        d_sorted = dist[qi][order]
+        rel_sorted = rel[qi][order].astype(np.float64)
+        # expected per-position relevance: uniform within each tie bin
+        exp_pos = np.empty(n_items)
+        lo = 0
+        while lo < n_items:
+            hi = lo
+            while hi < n_items and d_sorted[hi] == d_sorted[lo]:
+                hi += 1
+            exp_pos[lo:hi] = rel_sorted[lo:hi].mean()
+            lo = hi
+        cum = np.cumsum(exp_pos)
+        for ti, N in enumerate(topns):
+            k = min(int(N), n_items)
+            out[qi, ti] = cum[k - 1] / min(int(N), n_items) if k > 0 else 0.0
+    return out.mean(axis=0)

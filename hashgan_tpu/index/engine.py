@@ -119,12 +119,14 @@ class ServingPipeline:
         from hashgan_tpu.ops.mxu_scan import mxu_topk
 
         gal = engine.gallery
-        if gal.mesh is not None and gal.mesh.size > 1:
-            raise NotImplementedError(
-                "ServingPipeline is single-chip; mesh galleries serve "
-                "through PackedGallery.topk's sharded engines"
+        self._mesh = gal.mesh if (gal.mesh is not None
+                                  and gal.mesh.size > 1) else None
+        if gal.gallery_grouped is None:
+            raise ValueError(
+                "gallery has no grouped layout (over-capacity galleries "
+                "serve through PackedGallery.topk's slab engine)"
             )
-        if gal.gallery_grouped is None or gal.canon_bg is None:
+        if self._mesh is None and gal.canon_bg is None:
             raise ValueError(
                 "gallery has no grouped layout (over-capacity galleries "
                 "serve through PackedGallery.topk's slab engine)"
@@ -137,18 +139,50 @@ class ServingPipeline:
         self.engine = engine
         self.k = k
         self.depth = depth
-        topk_fn = mxu_topk if k <= 256 else mxu_topk_large
-        topk_fn = functools.partial(
-            topk_fn, k=k, mode=mode, interpret=interpret
-        )
         encode = engine._encode
 
-        def step(params, images_u8, gallery_g, canon_bg, valid_n):
-            codes = encode(params, images_u8)
-            pq = pack_codes(codes)
-            return topk_fn(pq, gallery_g, canon_bg, valid_n=valid_n)
+        if self._mesh is not None:
+            # Mesh serving: the fused step runs the replicated encode and
+            # the sharded MXU engine (parallel/sharded_scan.py — per-shard
+            # scan, k candidates per chip over ICI, position-key merge)
+            # under ONE jit dispatch. Gallery shards stay jit ARGUMENTS so
+            # a gallery swap never recompiles.
+            from hashgan_tpu.parallel.sharded_scan import (
+                sharded_mxu_topk,
+                sharded_mxu_topk_large,
+            )
 
-        self._step = jax.jit(step)
+            mesh, n = self._mesh, gal.n
+            has_pm8 = gal.gallery_grouped[4] is not None
+
+            def mesh_step(params, images_u8, grouped, canon_bg, valids,
+                          *pm8):
+                codes = encode(params, images_u8)
+                pq = pack_codes(codes)
+                if k <= 256:
+                    return sharded_mxu_topk(
+                        mesh, pq, grouped, canon_bg, valids, n=n, k=k,
+                        mode=mode, interpret=interpret,
+                        gallery_pm8=pm8[0] if has_pm8 else None,
+                    )
+                return sharded_mxu_topk_large(
+                    mesh, pq, grouped, canon_bg, valids, n=n, k=k,
+                    mode=mode, interpret=interpret,
+                )
+
+            self._step = jax.jit(mesh_step)
+        else:
+            topk_fn = mxu_topk if k <= 256 else mxu_topk_large
+            topk_fn = functools.partial(
+                topk_fn, k=k, mode=mode, interpret=interpret
+            )
+
+            def step(params, images_u8, gallery_g, canon_bg, valid_n):
+                codes = encode(params, images_u8)
+                pq = pack_codes(codes)
+                return topk_fn(pq, gallery_g, canon_bg, valid_n=valid_n)
+
+            self._step = jax.jit(step)
         self._inflight: "collections.deque" = collections.deque()
 
     def submit(self, images_u8: np.ndarray) -> None:
@@ -156,10 +190,18 @@ class ServingPipeline:
         import jax.numpy as _jnp
 
         gal = self.engine.gallery
-        d, i = self._step(
-            self.engine.params, _jnp.asarray(images_u8),
-            gal.gallery_grouped, gal.canon_bg, _jnp.int32(gal.n),
-        )
+        if self._mesh is not None:
+            grouped, _canon, valids, bg, pm8 = gal.gallery_grouped
+            extra = (pm8,) if pm8 is not None else ()
+            d, i = self._step(
+                self.engine.params, _jnp.asarray(images_u8),
+                grouped, bg, valids, *extra,
+            )
+        else:
+            d, i = self._step(
+                self.engine.params, _jnp.asarray(images_u8),
+                gal.gallery_grouped, gal.canon_bg, _jnp.int32(gal.n),
+            )
         self._inflight.append((d, i))
 
     def drain(self) -> QueryResult:

@@ -77,6 +77,30 @@ def build_config(bits: int):
     return cfg
 
 
+def best_over_horizon(workdir: str):
+    """Peak eval MAP across the run's eval curve (metrics.jsonl) + the step
+    it occurred at. A single fixed-budget slice mixes overfit-past-peak and
+    under-converged widths (measured round 3: 24-bit peaked at 20k and
+    DECLINED to 50k while 48-bit was still climbing — docs/BENCHMARKS.md),
+    so the published table is peak-over-horizon with the budget noted."""
+    best, best_step = None, None
+    try:
+        with open(os.path.join(workdir, "metrics.jsonl")) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                for k, v in rec.items():
+                    if k.startswith("map_at_") and (
+                            best is None or float(v) > best):
+                        best = float(v)
+                        best_step = rec.get("step")
+    except OSError:
+        pass
+    return best, best_step
+
+
 def run_point(bits: int) -> int:
     import jax
 
@@ -93,11 +117,17 @@ def run_point(bits: int) -> int:
         exp.train_encoder(target - step)
         exp.save_checkpoint()
     final = exp.evaluate()
+    exp.logger.log(target, final)
+    exp.logger.flush(target)
+    best, best_step = best_over_horizon(cfg.train.workdir)
     rec = {"bits": bits, "iters": target, "wall_s": time.time() - t0,
            **{k: float(v) for k, v in final.items()}}
+    if best is not None:
+        rec["best_map_over_horizon"] = best
+        rec["best_map_step"] = best_step
     with open(os.path.join(ROOT, f"point_bits{bits}.json"), "w") as f:
         json.dump(rec, f, indent=2)
-    print(f"[bits{bits}] {json.dumps({k: round(v, 4) for k, v in rec.items()})}",
+    print(f"[bits{bits}] {json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in rec.items()})}",
           flush=True)
     return 0
 
@@ -125,8 +155,12 @@ def orchestrate() -> int:
     lines = [
         "| bits | " + " | ".join(str(p["bits"]) for p in points) + " |",
         "|---|" + "---|" * len(points),
-        f"| {map_key} | "
+        f"| {map_key} (final) | "
         + " | ".join(f"{p[map_key]:.4f}" for p in points) + " |",
+        "| best over horizon | "
+        + " | ".join(
+            f"{p.get('best_map_over_horizon', float('nan')):.4f}"
+            f"@{p.get('best_map_step', '?')}" for p in points) + " |",
         "| precision@H<=2 | "
         + " | ".join(f"{p.get('precision_at_h2', float('nan')):.4f}"
                      for p in points) + " |",

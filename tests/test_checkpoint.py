@@ -90,3 +90,48 @@ def test_gallery_artifact_checkpoint(tmp_path):
     np.testing.assert_array_equal(p2, packed)
     np.testing.assert_array_equal(l2, labels)
     assert b2 == 64
+
+
+def test_resume_rejects_changed_data_provenance(tmp_path, monkeypatch):
+    """ADVICE r3 (medium): a resume whose config/environment would feed
+    bit-different data (e.g. a synth-cache wipe flipping the numpy/device
+    generation auto-routing) must fail loudly, not silently train on
+    different bits mid-run."""
+    from hashgan_tpu.train.loop import Experiment
+
+    monkeypatch.delenv("HASHGAN_SYNTH_DEVICE", raising=False)
+    monkeypatch.setenv("HASHGAN_SYNTH_CACHE", "off")
+    wd = str(tmp_path / "p")
+    exp = Experiment(_cfg(wd))
+    exp.train_encoder(iters=2, eval_during=False)
+    exp.save_checkpoint()
+
+    # Same data path -> restore fine.
+    ok = Experiment(_cfg(wd))
+    assert ok.restore_checkpoint()
+
+    # Environment flips generation to the device path -> different bits.
+    monkeypatch.setenv("HASHGAN_SYNTH_DEVICE", "on")
+    bad = Experiment(_cfg(wd))
+    with pytest.raises(RuntimeError, match="provenance mismatch"):
+        bad.restore_checkpoint()
+
+
+def test_resume_adopts_legacy_checkpoint_without_provenance(tmp_path,
+                                                            monkeypatch):
+    import json
+    import os
+
+    from hashgan_tpu.train.loop import Experiment
+
+    monkeypatch.delenv("HASHGAN_SYNTH_DEVICE", raising=False)
+    wd = str(tmp_path / "l")
+    exp = Experiment(_cfg(wd))
+    exp.train_encoder(iters=2, eval_during=False)
+    exp.save_checkpoint()
+    os.remove(os.path.join(wd, "data_provenance.json"))  # pre-round-4 run
+
+    again = Experiment(_cfg(wd))
+    assert again.restore_checkpoint()
+    with open(os.path.join(wd, "data_provenance.json")) as f:
+        assert f and json.load(f)["provenance"].startswith("synth:")

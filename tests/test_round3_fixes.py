@@ -168,7 +168,12 @@ def test_serving_pipeline_matches_query_engine():
         np.testing.assert_array_equal(res.distances, ref.distances)
 
 
-def test_serving_pipeline_rejects_mesh_and_ungrouped():
+def test_serving_pipeline_rejects_ungrouped():
+    # Round 4 made mesh galleries first-class in ServingPipeline
+    # (tests/test_round4_fixes.py); what still refuses is a gallery with no
+    # grouped layout (over-capacity -> slab engine only).
+    import dataclasses as _dc
+
     import pytest as _pytest
 
     from hashgan_tpu.index import QueryEngine, ServingPipeline, build_gallery
@@ -181,8 +186,9 @@ def test_serving_pipeline_rejects_mesh_and_ungrouped():
     enc = build_encoder("small_cnn", 32)
     gal_mesh = build_gallery(jnp.asarray(codes), labels, 32,
                              mesh=make_mesh(2), use_pallas=False)
-    with _pytest.raises(NotImplementedError):
-        ServingPipeline(QueryEngine(enc, None, gal_mesh))
+    gal_ungrouped = _dc.replace(gal_mesh, gallery_grouped=None)
+    with _pytest.raises(ValueError, match="grouped layout"):
+        ServingPipeline(QueryEngine(enc, None, gal_ungrouped))
 
 
 # ----------------------------------------------------------------------------

@@ -107,3 +107,52 @@ def test_radius_metrics_from_hist():
         assert abs(got - expect) < 1e-6
     p, r = pr_curve_from_hist(n_h, r_h)
     assert (np.diff(r) >= -1e-12).all() and abs(r[-1] - 1.0) < 1e-9
+
+
+def test_precision_at_topn_matches_position_loop_oracle():
+    from hashgan_tpu.eval.streaming import (
+        precision_at_topn_from_hist,
+        precision_at_topn_np,
+    )
+
+    pq, pg, qlab, dlab = _case(7, q=5, n=200, words=1)
+    d = hamming_distance_np(pq, pg)
+    rel = (qlab @ dlab.T) > 0
+    n_hist, r_hist = distance_histograms_np(d, rel, 32)
+    topns = np.array([1, 2, 5, 10, 50, 100, 200, 500])
+    got = precision_at_topn_from_hist(n_hist, r_hist, topns)
+    want = precision_at_topn_np(d, rel, topns)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_precision_at_topn_no_ties_exact():
+    from hashgan_tpu.eval.streaming import precision_at_topn_from_hist
+
+    # Distinct distances: expected precision@N equals the deterministic
+    # ranked precision.
+    q, n = 3, 40
+    rng = np.random.default_rng(3)
+    d = np.stack([rng.permutation(n) for _ in range(q)]).astype(np.int64)
+    rel = rng.random((q, n)) < 0.3
+    n_hist, r_hist = distance_histograms_np(d, rel, n)
+    topns = np.array([1, 3, 7, 20, 40])
+    got = precision_at_topn_from_hist(n_hist, r_hist, topns)
+    want = []
+    for N in topns:
+        ps = []
+        for qi in range(q):
+            order = np.argsort(d[qi])
+            ps.append(rel[qi][order][:N].mean())
+        want.append(np.mean(ps))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12)
+
+
+def test_precision_at_topn_beyond_gallery_size():
+    from hashgan_tpu.eval.streaming import precision_at_topn_from_hist
+
+    # N > gallery: denominator is the returned count, so the value equals
+    # overall relevance fraction.
+    n_hist = np.array([[3, 2, 0]])
+    r_hist = np.array([[2, 1, 0]])
+    got = precision_at_topn_from_hist(n_hist, r_hist, np.array([5, 50]))
+    np.testing.assert_allclose(got, [3 / 5, 3 / 5])

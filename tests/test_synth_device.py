@@ -121,3 +121,47 @@ def test_make_splits_device_cache_roundtrip(tmp_path, monkeypatch):
                                       second[split].images)
         np.testing.assert_array_equal(first[split].labels,
                                       second[split].labels)
+
+
+def test_device_gen_golden_digest():
+    """Pin the default-block keyed bit stream (ADVICE r3): an accidental
+    _DEVICE_BLOCK or fold_in key-scheme change must fail a test, not
+    silently re-key every cached split. Digests were produced by this exact
+    code on the forced-CPU test backend; jax threefry bits are
+    platform-stable (the f32 normal transform is the only ulp risk, and the
+    test backend is fixed by conftest)."""
+    import hashlib
+
+    golden = {
+        False: ("814fc262a61e379dc4661e476490e52089841ee47fbe4f7c9b9503656b1b01f2",
+                "1f8e8906ca40a87e683ff03bbd50424c7abdeadb7fc9f8a1a4fba99809d20df4"),
+        True: ("d2c2f0a39ae1c41348f2d9d527b26af54a3efee66a78b4ca3ada9ba6c6f7a3f1",
+               "6fc023276fb3508174e28185f042d23b7cb006554ddd8ef610f3155cae845d95"),
+    }
+    for ml, (img_d, lab_d) in golden.items():
+        ds, _ = make_synthetic(40, 5, size=16, multi_label=ml, seed=13,
+                               device=True)
+        assert hashlib.sha256(ds.images.tobytes()).hexdigest() == img_d
+        assert hashlib.sha256(ds.labels.tobytes()).hexdigest() == lab_d
+
+
+def test_device_gen_multilabel_needs_three_classes():
+    with pytest.raises(AssertionError, match="n_classes >= 3"):
+        make_synthetic(8, 2, size=8, multi_label=True, seed=1, device=True)
+
+
+def test_make_splits_warns_device_without_cache(monkeypatch):
+    monkeypatch.setenv("HASHGAN_SYNTH_DEVICE", "on")
+    monkeypatch.setenv("HASHGAN_SYNTH_CACHE", "off")
+    cfg = DataConfig(n_train=8, n_query=4, n_database=8, image_size=8,
+                     n_classes=3, seed=3)
+    with pytest.warns(UserWarning, match="HASHGAN_SYNTH_CACHE=off"):
+        make_splits(cfg)
+
+
+def test_generation_key_device_suffix():
+    from hashgan_tpu.data.synthetic import synth_generation_key
+
+    cfg = DataConfig(n_train=8, n_query=4, n_database=8, image_size=8)
+    assert synth_generation_key(cfg, device=True) == (
+        synth_generation_key(cfg, device=False) + "_dev1")
