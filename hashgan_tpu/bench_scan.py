@@ -66,36 +66,19 @@ def _phase_breakdown(packed_q, gallery_g, canon_bg, n, k, qs, iters):
         )
         return full[:, :1].sum().astype(jnp.float32) + sub[:, :1].sum()
 
-    def thru_select(pq):
+    def _select(pq):
         full, sub = mxu_fullkey_scan(
             unpack_to_pm1(pq), gallery_g, build_key_base(L, c, bits, n),
             stride=stride, c_total=c, sub_g=sub_g,
         )
-        q_n = pq.shape[0]
-        _, sids = jax.lax.top_k(-sub, m)
-        cand_pos = (
-            sids[:, :, None] * sub_g
-            + jax.lax.broadcasted_iota(jnp.int32, (q_n, m, sub_g), 2)
-        ).reshape(q_n, m * sub_g)
-        cand = jnp.take_along_axis(full, cand_pos, axis=1)
-        _, p = jax.lax.top_k(-cand, m)
-        cols = jnp.take_along_axis(cand_pos, p, axis=1)
-        return cols.sum().astype(jnp.float32)
+        _, cols = _twolevel_topk_min(full, m, g=sub_g, submins=sub)
+        return cols
+
+    def thru_select(pq):
+        return _select(pq).sum().astype(jnp.float32)
 
     def thru_rescan(pq):
-        full, sub = mxu_fullkey_scan(
-            unpack_to_pm1(pq), gallery_g, build_key_base(L, c, bits, n),
-            stride=stride, c_total=c, sub_g=sub_g,
-        )
-        q_n = pq.shape[0]
-        _, sids = jax.lax.top_k(-sub, m)
-        cand_pos = (
-            sids[:, :, None] * sub_g
-            + jax.lax.broadcasted_iota(jnp.int32, (q_n, m, sub_g), 2)
-        ).reshape(q_n, m * sub_g)
-        cand = jnp.take_along_axis(full, cand_pos, axis=1)
-        _, p = jax.lax.top_k(-cand, m)
-        cols = jnp.take_along_axis(cand_pos, p, axis=1)
+        cols = _select(pq)
         rescan = _rescan_winner_columns(
             pq, canon_bg, cols, L, c, w, stride, n
         )
@@ -265,20 +248,14 @@ def run_bench(
     _, im_t = scan_mxu(pq_ties)
     ties_match = bool((np.asarray(im_t) == np.asarray(ie_t)).all())
     # Roofline context for the graded number (VERDICT r3 #4): achieved
-    # tensor-FLOP rate of the ±1 distance matmul, fraction of v5e bf16
-    # peak, and the per-phase latency split so MXU-utilization regressions
-    # are visible in the headline itself.
+    # tensor-FLOP rate of the ±1 distance matmul and fraction of v5e bf16
+    # peak ride the headline (derived from the already-measured dt — free);
+    # the per-phase split needs 4 extra compiles, so it lands in the detail
+    # AFTER the headline is surfaced (the headline contract: a slow
+    # remote-compile session + an external timeout can never lose it).
     flops = 2.0 * q * n * bits
     tf_per_sec = flops / dt_mxu_dev / 1e12
     mfu = tf_per_sec / V5E_BF16_PEAK_TFLOPS
-    phases = None
-    if jax.default_backend() not in ("cpu",):
-        try:
-            phases = _phase_breakdown(
-                packed_q, gallery_g, canon_bg, n, k, qs, iters
-            )
-        except Exception as e:  # never let the roofline gate the headline
-            phases = {"error": repr(e)}
     if headline_cb is not None:
         # Surface the graded number the moment it is verified; everything
         # below is comparison detail a slow compile session should not gate.
@@ -291,8 +268,15 @@ def run_bench(
             "verified": exact_match and ties_match,
             "tf_per_sec": float(tf_per_sec),
             "mfu": float(mfu),
-            "phase_ms": phases,
         })
+    phases = None
+    if jax.default_backend() not in ("cpu",):
+        try:
+            phases = _phase_breakdown(
+                packed_q, gallery_g, canon_bg, n, k, qs, iters
+            )
+        except Exception as e:  # never let the roofline kill the detail
+            phases = {"error": repr(e)}
     dt_mxu_approx_dev = _time_amortized(
         lambda pq: scan_mxu(pq, "approx")[0].sum().astype(jnp.float32),
         qs, iters=iters,

@@ -420,15 +420,21 @@ def _full_column_keys(min1: jnp.ndarray, L: int, c: int, stride: int):
     return jnp.where(is_pad, INT32_MAX, full)
 
 
-def _twolevel_topk_min(keys: jnp.ndarray, kk: int, g: int = 16):
+def _twolevel_topk_min(keys: jnp.ndarray, kk: int, g: int = 16,
+                       submins: jnp.ndarray | None = None):
     """Exact kk smallest of (Q, M) DISTINCT int32 keys via a subgroup level:
     any global top-kk key lives in a subgroup whose min is among the kk
     smallest subgroup minima (otherwise kk strictly smaller keys exist), so
     top-kk over M reduces to top-kk over M/g minima plus top-kk over the
     kk*g surviving candidates. Returns (keys (Q, kk), positions (Q, kk)
     int32 into M). Falls back to direct top_k when the reduction can't
-    shrink the problem.
-    """
+    shrink the problem. ``submins``: optional precomputed (Q, M//g) minima.
+
+    The candidate fetch MUST stay a whole-subgroup row gather
+    (take_along_axis on the (Q, M/g, g) view — slice granularity g): an
+    element-granular positional gather of the same kk*g candidates was
+    measured at ~19 ms vs ~2 ms for this form at the 1M headline shape
+    (round 4 — XLA TPU gathers serialize per element)."""
     q, m = keys.shape
     n_sub = m // g
     if n_sub < kk or m <= 4 * kk or m % g != 0 or kk * g >= m:
@@ -438,7 +444,9 @@ def _twolevel_topk_min(keys: jnp.ndarray, kk: int, g: int = 16):
         negk, pos = jax.lax.top_k(-keys, kk)
         return -negk, pos
     sub = keys.reshape(q, n_sub, g)
-    _, sids = jax.lax.top_k(-sub.min(axis=2), kk)            # (Q, kk)
+    if submins is None:
+        submins = sub.min(axis=2)
+    _, sids = jax.lax.top_k(-submins, kk)                    # (Q, kk)
     cand = jnp.take_along_axis(sub, sids[:, :, None], axis=1)  # (Q, kk, g)
     negk, p = jax.lax.top_k(-cand.reshape(q, kk * g), kk)
     pos = jnp.take_along_axis(
@@ -511,22 +519,10 @@ def mxu_topk(
             stride=stride, c_total=c, query_tile=query_tile,
             col_block=col_block, sub_g=sub_g, interpret=interpret,
         )
-        n_sub = c // sub_g
-        if n_sub < m or c <= 4 * m or m * sub_g >= c:
-            # Narrow galleries: the subgroup level cannot shrink the
-            # problem; one direct top_k is cheaper (cf. _twolevel_topk_min).
-            _, cols = jax.lax.top_k(-full_min, m)
-        else:
-            # Rank bound (module doc): every top-m column key lives in a
-            # subgroup whose min is among the m smallest subgroup minima.
-            _, sids = jax.lax.top_k(-submin, m)               # (Q, m)
-            cand_pos = (
-                sids[:, :, None] * sub_g
-                + jax.lax.broadcasted_iota(jnp.int32, (q, m, sub_g), 2)
-            ).reshape(q, m * sub_g)
-            cand = jnp.take_along_axis(full_min, cand_pos, axis=1)
-            _, p = jax.lax.top_k(-cand, m)
-            cols = jnp.take_along_axis(cand_pos, p, axis=1)
+        # Winner-column selection reuses the two-level rank-bound reduction
+        # with the kernel-free subgroup minima (whole-subgroup row gather —
+        # see _twolevel_topk_min's docstring for the measured gather trap).
+        _, cols = _twolevel_topk_min(full_min, m, g=sub_g, submins=submin)
         rescan = _rescan_winner_columns(
             packed_q, canon_bg_flat, cols, L, c, w, stride, valid_n
         )

@@ -129,6 +129,117 @@ def sharded_hamming_topk(
     return fn(packed_q, gallery_t)
 
 
+def ring_hamming_topk(
+    mesh: Mesh,
+    packed_q: jnp.ndarray,
+    gallery_t: jnp.ndarray,
+    k: int = 100,
+    slab: int = 1 << 17,
+    axis: str = "data",
+    use_pallas: bool | None = None,
+    valid_n: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ring-rotation variant (SURVEY.md §5 long-context row): gallery shards
+    stay RESIDENT while query blocks rotate the ring via ``ppermute`` —
+    ring-attention topology with a Hamming payload.
+
+    The default engine (sharded_hamming_topk) replicates queries and
+    all_gathers k candidates per chip — the right trade when Q is small.
+    This variant is for query batches too large to replicate: queries are
+    sharded over the mesh (Q divisible by mesh size), and each step every
+    chip scans the visiting block against its resident shard, accumulates
+    the shard's top-k candidates into the slot indexed by the SHARD id
+    (so candidate groups end up in shard-ascending order regardless of the
+    visit order), then forwards (block, accumulators) to the next chip.
+    After n_dev steps each block is home with every shard's candidates and
+    merges them with the same position-composite key as the all_gather
+    engine — so the result is BIT-IDENTICAL to sharded_hamming_topk and the
+    single-chip scan (asserted in tests/test_ring_topk.py at mesh {1,2,8}).
+
+    Per-step ICI traffic per chip: Q/n_dev query rows + the traveling
+    accumulator (Q/n_dev * n_dev * k candidate pairs); total over the cycle
+    ~ Q*(W + 2*n_dev*k) words vs the all_gather engine's Q*n_dev*k — the
+    ring wins when Q is large and k small relative to the gallery, and
+    keeps per-chip query memory at Q/n_dev instead of Q.
+
+    Returns (dists (Q, kk), global indices (Q, kk)), replicated, in the
+    original query order; index >= n marks padding sentinels."""
+    n = gallery_t.shape[1]
+    n_dev = mesh.shape[axis]
+    q = packed_q.shape[0]
+    assert n % n_dev == 0, f"gallery {n} not divisible by mesh size {n_dev}"
+    assert q % n_dev == 0, f"queries {q} not divisible by mesh size {n_dev}"
+    local_n = n // n_dev
+    max_d = 32 * packed_q.shape[1]
+    if valid_n is None:
+        valid_n = n
+    kk_loc = min(k, local_n)
+    kk = min(k, n)
+
+    def ring(q_block, g_local):
+        # q_block: (Q/n_dev, W) this chip's originating block;
+        # g_local: (W, local_n) resident shard.
+        me = jax.lax.axis_index(axis)
+        qb = q_block
+        q_loc = q_block.shape[0]
+        d_acc = jnp.full((q_loc, n_dev, kk_loc), max_d + 1, jnp.int32)
+        i_acc = jnp.full((q_loc, n_dev, kk_loc), n, jnp.int32)
+        perm = [(r, (r + 1) % n_dev) for r in range(n_dev)]
+
+        def step(_t, carry):
+            qb, d_acc, i_acc = carry
+            local_valid = jnp.clip(valid_n - me * local_n, 0, local_n)
+            d, i = hamming_scan_topk(
+                qb, g_local, k=kk_loc, slab=slab, use_pallas=use_pallas,
+                valid_n=local_valid,
+            )
+            i = i + me * local_n
+            # Slot by shard id: groups end up shard-ascending at home.
+            d_acc = jax.lax.dynamic_update_slice(
+                d_acc, d[:, None, :].astype(jnp.int32), (0, me, 0))
+            i_acc = jax.lax.dynamic_update_slice(
+                i_acc, i[:, None, :].astype(jnp.int32), (0, me, 0))
+            qb = jax.lax.ppermute(qb, axis, perm)
+            d_acc = jax.lax.ppermute(d_acc, axis, perm)
+            i_acc = jax.lax.ppermute(i_acc, axis, perm)
+            return qb, d_acc, i_acc
+
+        qb, d_acc, i_acc = jax.lax.fori_loop(
+            0, n_dev, step, (qb, d_acc, i_acc))
+        # After a full cycle the block (and its accumulators) are home.
+        cat_d = d_acc.reshape(q_loc, n_dev * kk_loc)
+        cat_i = i_acc.reshape(q_loc, n_dev * kk_loc)
+        # Identical merge to sharded_hamming_topk: groups are in shard-
+        # ascending order and shards own contiguous global-index ranges, so
+        # the position composite orders exactly like the global index for
+        # equal distances — no global key ceiling.
+        n_cand = cat_d.shape[1]
+        position = jax.lax.broadcasted_iota(jnp.int32, (q_loc, n_cand), 1)
+        sent = cat_d > max_d
+        key = jnp.where(
+            sent, jnp.iinfo(jnp.int32).max,
+            cat_d * jnp.int32(n_cand) + position,
+        )
+        _, pos = jax.lax.top_k(-key, kk)
+        d_out = jnp.take_along_axis(cat_d, pos, axis=1)
+        i_out = jnp.take_along_axis(cat_i, pos, axis=1)
+        i_out = jnp.where(d_out > max_d, n, i_out)
+        return d_out, i_out
+
+    fn = _cached_shard_fn(
+        ("ring", mesh, n, q, packed_q.shape[1], k, slab, axis, use_pallas,
+         int(valid_n)),
+        lambda: shard_map(
+            ring,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(None, axis)),
+            out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False,
+        ),
+    )
+    return fn(packed_q, gallery_t)
+
+
 # ----------------------------------------------------------------------------
 # Sharded group-min engine (the fast exact path, multi-chip)
 # ----------------------------------------------------------------------------
