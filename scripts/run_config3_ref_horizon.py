@@ -75,9 +75,16 @@ SCARCE_TRAIN = int(os.environ.get("SCARCE_TRAIN", 0))
 # runs/config3_stage1_sweep/summary.json); lists become tuples so
 # width-mult overrides land as the dataclass expects.
 GAN_JSON = os.environ.get("GAN_JSON", "")
+# CONFIG_PRESET=config3_cal: run the arms on the CALIBRATED task (100
+# concepts — configs/config.py round 4). Measured this round: the default
+# 21-concept task saturates BOTH arms (MAP@5000 = 1.0) even at
+# SCARCE_TRAIN=2000, so the paper's delta needs either deeper scarcity or
+# the calibrated task. Default preserves the historical runs.
+CONFIG_PRESET = os.environ.get("CONFIG_PRESET", "config3")
 ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "runs",
                  "config3_ref_horizon"
+                 + ("_cal" if CONFIG_PRESET != "config3" else "")
                  + (f"_scarce{SCARCE_TRAIN}" if SCARCE_TRAIN else "")
                  + ("_smoke" if SMOKE else ""))
 )
@@ -87,7 +94,7 @@ PHASES = ("stage1", "cotrain") + (() if SKIP_ABLATION else ("realonly",))
 def base_config(arm: str):
     from hashgan_tpu.configs import get_config
 
-    cfg = get_config("config3")
+    cfg = get_config(CONFIG_PRESET)
     if SCARCE_TRAIN:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, n_train=SCARCE_TRAIN))
