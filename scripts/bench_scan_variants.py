@@ -8,7 +8,11 @@ shape WITHOUT touching production code:
 
   prod        ops/mxu_scan.mxu_fullkey_scan as shipped
   bf16dot     MXU output in bf16 (|dot| <= B=128 < 256 => bf16-EXACT for
-              ±1 products; halves the dot intermediate's VMEM traffic)
+              ±1 products; halves the dot intermediate's VMEM traffic).
+              MEASURED NEGATIVE: Mosaic rejects bf16 matmul accumulators
+              ("Expected matmul acc to be 32-bit") — the variant cannot
+              compile on v5e; production's bf16-in/f32-acc is the floor.
+  lanes       group axis minor: the min reduces over lanes, not sublanes
   tile64/256  query_tile sweep (VMEM-bounded)
   cb64/cb256  col_block sweep (cb256 likely exceeds VMEM: expect failure)
 
@@ -202,12 +206,16 @@ def main(bits=128, n=1 << 20, q=1024, batches=6, iters=3):
         unpack_to_pm1(pq), gallery_g, kb, stride=stride, c_total=c
     )[0][:, :1].sum().astype(jnp.float32))
 
-    got = np.asarray(fullkey_scan_bf16(
-        unpack_to_pm1(probe), gallery_g, kb, stride, c))
-    assert (got == ref).all(), "bf16dot mismatch"
-    timed("bf16dot", lambda pq: fullkey_scan_bf16(
-        unpack_to_pm1(pq), gallery_g, kb, stride, c
-    )[:, :1].sum().astype(jnp.float32))
+    try:
+        got = np.asarray(fullkey_scan_bf16(
+            unpack_to_pm1(probe), gallery_g, kb, stride, c))
+        assert (got == ref).all(), "bf16dot mismatch"
+        timed("bf16dot", lambda pq: fullkey_scan_bf16(
+            unpack_to_pm1(pq), gallery_g, kb, stride, c
+        )[:, :1].sum().astype(jnp.float32))
+    except Exception as e:
+        results["bf16dot"] = {"error": repr(e).splitlines()[0][:200]}
+        print("bf16dot FAILED:", results["bf16dot"]["error"], flush=True)
 
     kb_t = jnp.asarray(np.asarray(kb).T.copy())
     try:
@@ -222,10 +230,16 @@ def main(bits=128, n=1 << 20, q=1024, batches=6, iters=3):
         print("lanes FAILED:", results["lanes"]["error"], flush=True)
 
     for qt in (64, 256):
-        got = np.asarray(mxu_fullkey_scan(
-            unpack_to_pm1(probe), gallery_g, kb, stride=stride, c_total=c,
-            query_tile=qt)[0])
-        assert (got == ref).all(), f"tile{qt} mismatch"
+        try:
+            got = np.asarray(mxu_fullkey_scan(
+                unpack_to_pm1(probe), gallery_g, kb, stride=stride,
+                c_total=c, query_tile=qt)[0])
+            assert (got == ref).all(), f"tile{qt} mismatch"
+        except Exception as e:
+            results[f"tile{qt}"] = {"error": repr(e).splitlines()[0][:200]}
+            print(f"tile{qt} FAILED:", results[f"tile{qt}"]["error"],
+                  flush=True)
+            continue
         timed(f"tile{qt}", lambda pq, qt=qt: mxu_fullkey_scan(
             unpack_to_pm1(pq), gallery_g, kb, stride=stride, c_total=c,
             query_tile=qt)[0][:, :1].sum().astype(jnp.float32))
