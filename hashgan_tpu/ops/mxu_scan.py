@@ -89,6 +89,17 @@ def build_key_base(L: int, cols: int, bits: int, valid_n) -> jnp.ndarray:
     return jnp.where(idx < valid_n, base, base + PAD_PENALTY)
 
 
+def build_key_base_t(L: int, cols: int, bits: int, valid_n) -> jnp.ndarray:
+    """(cols, L) transposed key base for the lane-major scan layout
+    (layout="lane" in mxu_fullkey_scan): same values as build_key_base,
+    group axis minor."""
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (cols, L), 1)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (cols, L), 0)
+    idx = s_ids * cols + c_ids
+    base = (bits * L) / 2.0 + s_ids.astype(jnp.float32)
+    return jnp.where(idx < valid_n, base, base + PAD_PENALTY)
+
+
 def build_key_base_i32(L: int, cols: int, bits: int, valid_n) -> jnp.ndarray:
     """int32 key base for the int8 scan: same values as build_key_base but
     exact integers end-to-end (no f32 representability argument needed)."""
@@ -280,10 +291,56 @@ def _mxu_fullkey_kernel(q_ref, g_ref, base_ref, min_ref, gb_ref, *,
     min_ref[:] = jnp.where(is_pad, INT32_MAX, full)
 
 
+def _mxu_fullkey_kernel_lanes(q_ref, g_ref, baset_ref, min_ref, gb_ref, *,
+                              half_l, stride, c_total):
+    """Lane-major layout variant of _mxu_fullkey_kernel: the unpacked block
+    is flattened (cb, L)-major so the group-min reduces over the MINOR
+    (lane) axis — log-step lane shuffles — instead of a cross-sublane
+    strided min over L. baset: (Cb, L) transposed key base
+    (build_key_base_t). One extra in-kernel transpose of the unpacked
+    block per gallery block, amortized over all query tiles. Emits the
+    same finished int32 composite keys as the sublane kernel."""
+    w_words = g_ref.shape[0]
+    L = g_ref.shape[1]
+    cb = g_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)  # unpack once per gallery block
+    def _unpack():
+        for w in range(w_words):  # static unroll
+            gw = g_ref[w]                                    # (L, Cb) u32
+            bitpos = jax.lax.broadcasted_iota(
+                jnp.uint32, (32, L, cb), 0
+            )
+            bits = (gw[None, :, :] >> bitpos) & jnp.uint32(1)
+            pm = (bits.astype(jnp.int32) * 2 - 1).astype(
+                jnp.float32
+            ).astype(jnp.bfloat16)
+            gb_ref[w * 32 : (w + 1) * 32, :] = pm.transpose(0, 2, 1).reshape(
+                32, cb * L)
+
+    dot = jnp.dot(q_ref[:], gb_ref[:], preferred_element_type=jnp.float32)
+    key = baset_ref[:][None, :, :] - dot.reshape(
+        dot.shape[0], cb, L
+    ) * half_l
+    colmin = jnp.min(key, axis=2).astype(jnp.int32)      # lane reduction
+    is_pad = colmin >= jnp.int32(PAD_PENALTY)
+    if L & (L - 1) == 0:
+        shift = L.bit_length() - 1
+        d = jax.lax.shift_right_logical(colmin, shift)
+        s = jnp.bitwise_and(colmin, jnp.int32(L - 1))
+    else:
+        d = colmin // L
+        s = colmin % L
+    cols = (pl.program_id(0) * cb
+            + jax.lax.broadcasted_iota(jnp.int32, colmin.shape, 1))
+    full = d * jnp.int32(stride) + s * jnp.int32(c_total) + cols
+    min_ref[:] = jnp.where(is_pad, INT32_MAX, full)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("stride", "c_total", "query_tile", "col_block",
-                     "sub_g", "interpret"),
+                     "sub_g", "interpret", "layout"),
 )
 def mxu_fullkey_scan(
     q_pm1: jnp.ndarray,
@@ -295,10 +352,17 @@ def mxu_fullkey_scan(
     col_block: int = 128,
     sub_g: int = 16,
     interpret: bool = False,
+    layout: str = "sublane",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(Q, B) ±1 x (W, L, C) packed -> ((Q, C) i32 full composite keys,
     (Q, C // sub_g) i32 subgroup minima). Exact-path variant of
-    mxu_groupmin_scan (which still serves approx mode + the pm8 path)."""
+    mxu_groupmin_scan (which still serves approx mode + the pm8 path).
+
+    layout="sublane" (default): unpacked block (L, cb)-flat, group min is a
+    cross-sublane strided reduction; key_base is (L, C) (build_key_base).
+    layout="lane": unpacked block (cb, L)-flat, group min reduces over the
+    minor lane axis; key_base must be (C, L) (build_key_base_t). Identical
+    results; measured alternative for the VPU-epilogue-bound scan phase."""
     q, b = q_pm1.shape
     w, L, c = gallery_g.shape
     assert b == 32 * w, (b, w)
@@ -307,10 +371,22 @@ def mxu_fullkey_scan(
     q_pad = pl.cdiv(q, query_tile) * query_tile
     if q_pad != q:
         q_pm1 = jnp.pad(q_pm1, ((0, q_pad - q), (0, 0)))
-    kernel = functools.partial(
-        _mxu_fullkey_kernel, half_l=float(L) / 2.0, stride=stride,
-        c_total=c_total,
-    )
+    if layout == "lane":
+        assert key_base.shape == (c, L), (key_base.shape, c, L)
+        kernel = functools.partial(
+            _mxu_fullkey_kernel_lanes, half_l=float(L) / 2.0, stride=stride,
+            c_total=c_total,
+        )
+        base_spec = pl.BlockSpec((col_block, L), lambda j, i: (j, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        assert key_base.shape == (L, c), (key_base.shape, L, c)
+        kernel = functools.partial(
+            _mxu_fullkey_kernel, half_l=float(L) / 2.0, stride=stride,
+            c_total=c_total,
+        )
+        base_spec = pl.BlockSpec((L, col_block), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM)
     full = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
@@ -320,8 +396,7 @@ def mxu_fullkey_scan(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w, L, col_block), lambda j, i: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, col_block), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
+            base_spec,
         ],
         out_specs=pl.BlockSpec((query_tile, col_block), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
@@ -461,7 +536,7 @@ def _twolevel_topk_min(keys: jnp.ndarray, kk: int, g: int = 16,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "query_tile", "col_block", "interpret", "mode",
-                     "recall_target"),
+                     "recall_target", "scan_layout"),
 )
 def mxu_topk(
     packed_q: jnp.ndarray,
@@ -475,6 +550,7 @@ def mxu_topk(
     mode: str = "exact",
     recall_target: float = 0.95,
     gallery_pm8: jnp.ndarray | None = None,
+    scan_layout: str = "sublane",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k via MXU scan (+ winner-column rescan when exact).
 
@@ -513,11 +589,14 @@ def mxu_topk(
         # selection is two narrow top_k calls + a gather — no elementwise
         # pass over the (Q, C) key array (_full_column_keys) remains.
         sub_g = 16
+        kb = (build_key_base_t(L, c, bits, valid_n)
+              if scan_layout == "lane"
+              else build_key_base(L, c, bits, valid_n))
         full_min, submin = mxu_fullkey_scan(
-            unpack_to_pm1(packed_q), gallery_g,
-            build_key_base(L, c, bits, valid_n),
+            unpack_to_pm1(packed_q), gallery_g, kb,
             stride=stride, c_total=c, query_tile=query_tile,
             col_block=col_block, sub_g=sub_g, interpret=interpret,
+            layout=scan_layout,
         )
         # Winner-column selection reuses the two-level rank-bound reduction
         # with the kernel-free subgroup minima (whole-subgroup row gather —

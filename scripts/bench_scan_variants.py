@@ -37,6 +37,7 @@ from hashgan_tpu.ops.groupmin import INT32_MAX, to_grouped_layout
 from hashgan_tpu.ops.mxu_scan import (
     PAD_PENALTY,
     build_key_base,
+    build_key_base_t,
     mxu_fullkey_scan,
     unpack_to_pm1,
 )
@@ -106,74 +107,6 @@ def fullkey_scan_bf16(q_pm1, gallery_g, key_base, stride, c_total,
     return full[:q]
 
 
-def _fullkey_kernel_lanes(q_ref, g_ref, baset_ref, min_ref, gb_ref, *,
-                          half_l, stride, c_total):
-    """Layout variant: the unpacked block is flattened (cb, L)-major so the
-    group-min reduces over the MINOR (lane) axis instead of a cross-sublane
-    strided min — probing whether Mosaic lowers lane reductions better.
-    baset: (C, L) transposed key base; one extra in-kernel transpose of the
-    unpacked block per gallery block (amortized over all query tiles)."""
-    w_words = g_ref.shape[0]
-    L = g_ref.shape[1]
-    cb = g_ref.shape[2]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _unpack():
-        for w in range(w_words):
-            gw = g_ref[w]
-            bitpos = jax.lax.broadcasted_iota(jnp.uint32, (32, L, cb), 0)
-            bits = (gw[None, :, :] >> bitpos) & jnp.uint32(1)
-            pm = (bits.astype(jnp.int32) * 2 - 1).astype(
-                jnp.float32).astype(jnp.bfloat16)
-            gb_ref[w * 32: (w + 1) * 32, :] = pm.transpose(0, 2, 1).reshape(
-                32, cb * L)
-
-    dot = jnp.dot(q_ref[:], gb_ref[:], preferred_element_type=jnp.float32)
-    key = baset_ref[:][None, :, :] - dot.reshape(
-        dot.shape[0], cb, L) * half_l
-    colmin = jnp.min(key, axis=2).astype(jnp.int32)       # lane reduction
-    is_pad = colmin >= jnp.int32(PAD_PENALTY)
-    shift = L.bit_length() - 1
-    d = jax.lax.shift_right_logical(colmin, shift)
-    s = jnp.bitwise_and(colmin, jnp.int32(L - 1))
-    cols = (pl.program_id(0) * cb
-            + jax.lax.broadcasted_iota(jnp.int32, colmin.shape, 1))
-    full = d * jnp.int32(stride) + s * jnp.int32(c_total) + cols
-    min_ref[:] = jnp.where(is_pad, INT32_MAX, full)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "stride", "c_total", "query_tile", "col_block", "interpret"))
-def fullkey_scan_lanes(q_pm1, gallery_g, key_base_t, stride, c_total,
-                       query_tile=128, col_block=128, interpret=False):
-    q, b = q_pm1.shape
-    w, L, c = gallery_g.shape
-    q_pad = pl.cdiv(q, query_tile) * query_tile
-    if q_pad != q:
-        q_pm1 = jnp.pad(q_pm1, ((0, q_pad - q), (0, 0)))
-    kernel = functools.partial(
-        _fullkey_kernel_lanes, half_l=float(L) / 2.0, stride=stride,
-        c_total=c_total)
-    full = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((q_pad, c), jnp.int32),
-        grid=(c // col_block, q_pad // query_tile),
-        in_specs=[
-            pl.BlockSpec((query_tile, b), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, L, col_block), lambda j, i: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((col_block, L), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((query_tile, col_block), lambda j, i: (i, j),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, L * col_block), jnp.bfloat16)],
-        interpret=interpret,
-    )(q_pm1.astype(jnp.bfloat16), gallery_g, key_base_t)
-    return full[:q]
-
-
 def main(bits=128, n=1 << 20, q=1024, batches=6, iters=3):
     rng = np.random.default_rng(0)
     w = (bits + 31) // 32
@@ -217,14 +150,16 @@ def main(bits=128, n=1 << 20, q=1024, batches=6, iters=3):
         results["bf16dot"] = {"error": repr(e).splitlines()[0][:200]}
         print("bf16dot FAILED:", results["bf16dot"]["error"], flush=True)
 
-    kb_t = jnp.asarray(np.asarray(kb).T.copy())
+    # lanes: the PRODUCTION layout="lane" path (ops/mxu_scan.py round 4).
+    kb_t = build_key_base_t(L, c, bits, n)
     try:
-        got = np.asarray(fullkey_scan_lanes(
-            unpack_to_pm1(probe), gallery_g, kb_t, stride, c))
+        got = np.asarray(mxu_fullkey_scan(
+            unpack_to_pm1(probe), gallery_g, kb_t, stride=stride, c_total=c,
+            layout="lane")[0])
         assert (got == ref).all(), "lanes mismatch"
-        timed("lanes", lambda pq: fullkey_scan_lanes(
-            unpack_to_pm1(pq), gallery_g, kb_t, stride, c
-        )[:, :1].sum().astype(jnp.float32))
+        timed("lanes", lambda pq: mxu_fullkey_scan(
+            unpack_to_pm1(pq), gallery_g, kb_t, stride=stride, c_total=c,
+            layout="lane")[0][:, :1].sum().astype(jnp.float32))
     except Exception as e:
         results["lanes"] = {"error": repr(e).splitlines()[0][:200]}
         print("lanes FAILED:", results["lanes"]["error"], flush=True)

@@ -383,3 +383,54 @@ def test_fullkey_scan_matches_groupmin_scan_plus_decode():
         np.testing.assert_array_equal(
             np.asarray(sub),
             want_full.reshape(q, c // 4, 4).min(axis=2))
+
+
+@pytest.mark.parametrize("bits,n,q,k", [(32, 700, 9, 20), (64, 1200, 5, 64)])
+def test_mxu_topk_lane_layout_matches_oracle(bits, n, q, k):
+    """layout="lane" (group axis minor, round 4): bit-identical to the
+    oracle and therefore to the default sublane layout."""
+    rng = np.random.default_rng(bits * 3 + n)
+    codes = np.where(rng.uniform(size=(n, bits)) < 0.5, -1.0, 1.0).astype(
+        np.float32)
+    queries = np.where(rng.uniform(size=(q, bits)) < 0.5, -1.0, 1.0).astype(
+        np.float32)
+    packed, gg, bgf = _build(codes)
+    pq = jnp.asarray(pack_codes_np(queries))
+    d, i = mxu_topk(pq, gg, bgf, valid_n=n, k=k,
+                    query_tile=16, col_block=16, interpret=True,
+                    scan_layout="lane")
+    d, i = np.asarray(d), np.asarray(i)
+    d_full = hamming_distance_np(pack_codes_np(queries), packed)
+    for qi in range(q):
+        order = np.argsort(d_full[qi], kind="stable")[:k]
+        np.testing.assert_array_equal(i[qi], order)
+        np.testing.assert_array_equal(d[qi], d_full[qi][order])
+
+
+def test_fullkey_scan_lane_layout_ties_and_padding():
+    """Lane layout under adversarial ties + layout padding: identical full
+    keys and subgroup minima to the sublane layout."""
+    from hashgan_tpu.ops.mxu_scan import (
+        build_key_base, build_key_base_t, mxu_fullkey_scan)
+
+    rng = np.random.default_rng(7)
+    n, bits, q = 500, 32, 6                    # padding: 500 < 8*16*4 slots
+    base = np.where(rng.uniform(size=bits) < 0.5, -1.0, 1.0)
+    codes = np.tile(base, (n, 1)).astype(np.float32)
+    flip = rng.integers(0, bits, size=n)
+    codes[np.arange(n), flip] *= -1            # near-total ties
+    queries = np.tile(base, (q, 1)).astype(np.float32)
+    packed, gg, _ = _build(codes)
+    pq = jnp.asarray(pack_codes_np(queries))
+    w, L, c = gg.shape
+    stride = L * c + 1
+    full_a, sub_a = mxu_fullkey_scan(
+        unpack_to_pm1(pq), gg, build_key_base(L, c, bits, n),
+        stride=stride, c_total=c, query_tile=8, col_block=16, sub_g=8,
+        interpret=True)
+    full_b, sub_b = mxu_fullkey_scan(
+        unpack_to_pm1(pq), gg, build_key_base_t(L, c, bits, n),
+        stride=stride, c_total=c, query_tile=8, col_block=16, sub_g=8,
+        interpret=True, layout="lane")
+    np.testing.assert_array_equal(np.asarray(full_a), np.asarray(full_b))
+    np.testing.assert_array_equal(np.asarray(sub_a), np.asarray(sub_b))
