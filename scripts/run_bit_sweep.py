@@ -40,9 +40,15 @@ ITERS = int(os.environ.get("ITERS", 20_000))
 N_CLASSES = int(os.environ.get("N_CLASSES", 100))
 R = int(os.environ.get("R", 1000))
 SMOKE = os.environ.get("SMOKE", "") == "1"
+# SWEEP_TAG=<tag>: separate artifact root (runs/bit_sweep_<tag>). Use for
+# budget-extension points (e.g. BITS=48 ITERS=100000 SWEEP_TAG=100k) so the
+# linear lr-decay horizon matches the budget from step 0 — resuming a 50k
+# checkpoint under a 100k schedule would jump the lr mid-run.
+TAG = os.environ.get("SWEEP_TAG", "")
 ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "runs",
-                 "bit_sweep" + ("_smoke" if SMOKE else ""))
+                 "bit_sweep" + (f"_{TAG}" if TAG else "")
+                 + ("_smoke" if SMOKE else ""))
 )
 
 

@@ -81,11 +81,19 @@ GAN_JSON = os.environ.get("GAN_JSON", "")
 # SCARCE_TRAIN=2000, so the paper's delta needs either deeper scarcity or
 # the calibrated task. Default preserves the historical runs.
 CONFIG_PRESET = os.environ.get("CONFIG_PRESET", "config3")
+# RUN_TAG=<tag>: separate artifact root for re-runs of the same arm set at a
+# different budget (e.g. ENC_ITERS=50000 RUN_TAG=e50k). Needed because the
+# encoder's linear lr decay is tied to ENC_ITERS — resuming a 20k-budget
+# checkpoint under a 50k schedule would jump the lr mid-run. Stage-I can be
+# reused across budgets by copying the stage-1 checkpoint dir into the new
+# ROOT/cotrain/checkpoints (the GAN schedule is untouched by ENC_ITERS).
+RUN_TAG = os.environ.get("RUN_TAG", "")
 ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "runs",
                  "config3_ref_horizon"
                  + ("_cal" if CONFIG_PRESET != "config3" else "")
                  + (f"_scarce{SCARCE_TRAIN}" if SCARCE_TRAIN else "")
+                 + (f"_{RUN_TAG}" if RUN_TAG else "")
                  + ("_smoke" if SMOKE else ""))
 )
 PHASES = ("stage1", "cotrain") + (() if SKIP_ABLATION else ("realonly",))

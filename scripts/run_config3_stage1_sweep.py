@@ -39,9 +39,18 @@ import time
 
 PROBE_CYCLES = int(os.environ.get("PROBE_CYCLES", 3000))
 SMOKE = os.environ.get("SMOKE", "") == "1"
+# PRESET=config3_cal runs the sweep on the calibrated 100-concept task —
+# the one the scarce-supervision measurement actually needs (the measured
+# cal stage-I failure is CONDITIONING, not Lipschitz: g_aux_ce pinned at
+# ~10 == its init value for 14k cycles while g_adv diverged 9.8 -> 59 and
+# conditional_accuracy_tmpl stayed at chance; /tmp/cal_scarce2000.log,
+# runs/config3_ref_horizon_cal_scarce2000).
+PRESET = os.environ.get("PRESET", "config3")
 ROOT = os.path.abspath(os.path.join(
     os.path.dirname(__file__), "..", "runs",
-    "config3_stage1_sweep" + ("_smoke" if SMOKE else "")))
+    "config3_stage1_sweep"
+    + (f"_{PRESET.removeprefix('config3_')}" if PRESET != "config3" else "")
+    + ("_smoke" if SMOKE else "")))
 
 ARMS = {
     "base": {},
@@ -72,24 +81,66 @@ ARMS = {
               "acgan_fake_scale": 1.0},
 }
 
+_COMBO = ARMS["combo"]
+# --- phase 4 (PRESET=config3_cal; attack the CONDITIONING failure).
+# The measured cal run shows a Lipschitz-healthy critic (GP 0.08) with a
+# generator that (a) loses the adversarial game progressively (g_adv
+# 9.8 -> 59 over 14k cycles) and (b) never moves its aux CE off init
+# (~10, == chance) under acgan_scale_g=0.1 — so GAN-pair label
+# inheritance feeds pure noise into stage-II (measured -7.1 MAP pts).
+# Arms probe the two candidate causes: the G aux weight being 100x
+# smaller than the adversarial term, and the critic over-powering G at
+# n_critic=5.
+ARMS.update({
+    "c_gaux1": {**_COMBO, "acgan_scale_g": 1.0},
+    "c_gaux3": {**_COMBO, "acgan_scale_g": 3.0},
+    "c_nc2": {**_COMBO, "n_critic": 2},
+    "c_gaux1_nc2": {**_COMBO, "acgan_scale_g": 1.0, "n_critic": 2},
+    # diagnostic: same geometry, one-hot labels — isolates multi-hot
+    # conditioning from 64px/100-class generation difficulty.
+    "c_onehot": {"gan": _COMBO, "data": {"multi_label": False}},
+    # bigger critic batches stabilize the W estimate (WGAN-GP folklore);
+    # cycles halved so the probe sees the same number of images.
+    "c_b128": {"gan": {**_COMBO, "iters": PROBE_CYCLES // 2},
+               "train": {"batch_size": 128}},
+})
 
-def arm_config(name: str, gan_overrides: dict):
+
+def _split_overrides(overrides: dict) -> dict:
+    """Flat dicts are GanConfig overrides (phase 1-3 arms); dicts keyed by
+    section name ({"gan": ..., "data": ..., "train": ...}) spread across the
+    config tree (phase-4 arms)."""
+    if set(overrides) <= {"gan", "data", "train"}:
+        return {"gan": {}, "data": {}, "train": {}, **overrides}
+    return {"gan": overrides, "data": {}, "train": {}}
+
+
+def arm_config(name: str, overrides: dict):
     from hashgan_tpu.configs import get_config
 
-    cfg = get_config("config3")
+    sec = _split_overrides(overrides)
+    gan_overrides = dict(sec["gan"])
+    # A per-arm "iters" must replace the probe default, not collide with it
+    # (dataclasses.replace rejects duplicate kwargs).
+    arm_iters = gan_overrides.pop("iters", PROBE_CYCLES)
+    cfg = get_config(PRESET)
+    # Stage-I touches only the train split: shrink query/database so the
+    # probe neither generates nor parks the 100k gallery. Section overrides
+    # win over the probe defaults.
+    data_kw = {"n_query": 128, "n_database": 1024, **sec["data"]}
+    train_kw = {
+        "batch_size": 64, "device_data": True,
+        "log_every": 100, "sample_every": max(100, PROBE_CYCLES // 2),
+        "checkpoint_every": 1 << 30, "eval_every": 1 << 30,
+        "workdir": os.path.join(ROOT, name),
+        **sec["train"],
+    }
     cfg = dataclasses.replace(
         cfg,
-        # Stage-I touches only the train split: shrink query/database so the
-        # probe neither generates nor parks the 100k gallery.
-        data=dataclasses.replace(cfg.data, n_query=128, n_database=1024),
+        data=dataclasses.replace(cfg.data, **data_kw),
         gan=dataclasses.replace(
-            cfg.gan, iters=PROBE_CYCLES, ema_decay=0.0, **gan_overrides),
-        train=dataclasses.replace(
-            cfg.train, batch_size=64, device_data=True,
-            log_every=100, sample_every=max(100, PROBE_CYCLES // 2),
-            checkpoint_every=1 << 30, eval_every=1 << 30,
-            workdir=os.path.join(ROOT, name),
-        ),
+            cfg.gan, iters=arm_iters, ema_decay=0.0, **gan_overrides),
+        train=dataclasses.replace(cfg.train, **train_kw),
     )
     if SMOKE:
         smoke_gan = {"dim": 16, "z_dim": 16, "iters": 8, **gan_overrides}
@@ -167,6 +218,14 @@ def main() -> int:
         ((abs(v["w_tail"]), k) for k, v in summary["arms"].items()
          if v["w_tail"] is not None))
     summary["ranking_by_abs_w"] = [[k, w] for w, k in ranked]
+    # Phase-4 arms attack conditioning, not W: rank by the template
+    # classifier's conditional accuracy on samples too (higher = better;
+    # this is the quantity whose failure poisons stage-II label
+    # inheritance).
+    ranked_ca = sorted(
+        ((-v["cond_acc_tmpl"], k) for k, v in summary["arms"].items()
+         if v.get("cond_acc_tmpl") is not None))
+    summary["ranking_by_cond_acc"] = [[k, -nca] for nca, k in ranked_ca]
     with open(spath, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary["ranking_by_abs_w"]), flush=True)
