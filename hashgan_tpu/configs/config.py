@@ -127,6 +127,14 @@ class TrainConfig:
     seed: int = 0
     use_gan_samples: bool = True          # stage-II: train F on real + fake
     fake_ratio: float = 0.5               # fraction of encoder batch synthetic
+    # Pair-loss discount for synthetic samples: pairs touching a fake are
+    # scaled by this (real-fake f, fake-fake f^2) inside the WML weighted
+    # mean. 1.0 = the reference's uniform weighting (and a bit-identical
+    # jaxpr: the weight tensor is only built when != 1). Useful when G's
+    # conditioning is imperfect — inherited labels then carry noise and a
+    # sub-unit weight prices that in (measured round 4: conditioning at
+    # chance costs -7.1 MAP on config3_cal scarce).
+    fake_pair_weight: float = 1.0
     crop_pad: int = 0                     # pad-and-random-crop aug (0 = off)
     prefetch: int = 2                     # batches in flight host->device
     epoch_shuffle: bool = False           # without-replacement epoch sampling

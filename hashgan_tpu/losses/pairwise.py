@@ -35,6 +35,7 @@ def wml_pairwise_loss(
     balance_weight: float = 0.0,
     codes_b: jnp.ndarray | None = None,
     labels_b: jnp.ndarray | None = None,
+    sample_weight: jnp.ndarray | None = None,
 ):
     """WML pairwise loss over all pairs of (codes, codes_b).
 
@@ -42,6 +43,15 @@ def wml_pairwise_loss(
     diagonal). Passing a second set supports real-vs-fake pair training
     (stage II trains F on real ∪ synthetic; cross-pairs carry supervision
     from G's conditioning labels).
+
+    ``sample_weight`` (shape (len(codes),), optional) scales each pair by
+    w_i * w_j before the weighted mean — the stage-II fake-pair discount
+    (TPU-rebuild extension; the reference weighs real and synthetic pairs
+    uniformly, which is the default here). With per-sample weights in
+    {1, f}, real-real pairs keep weight 1, real-fake pairs get f and
+    fake-fake pairs f^2; weight 0 reproduces the real-only pair likelihood
+    exactly (for class_balance=False) because the normalizer is the
+    weighted pair count.
     """
     if codes_b is None:
         codes_b, labels_b = codes, labels
@@ -77,6 +87,15 @@ def wml_pairwise_loss(
         w = jnp.where(s > 0, w_pos, w_neg) * mask
     else:
         w = mask
+    if sample_weight is not None:
+        # Row weights apply to BOTH sides of the in-batch pair matrix (the
+        # codes_b=None case); for explicit cross-pairs only the query side
+        # carries weights (codes_b rows are the fakes by convention).
+        sw = sample_weight.astype(jnp.float32)
+        if codes_b is codes:
+            w = w * (sw[:, None] * sw[None, :])
+        else:
+            w = w * sw[:, None]
 
     pair_loss = (w * nll).sum() / jnp.maximum(w.sum(), 1.0)
     quant = jnp.mean(jnp.square(1.0 - jnp.abs(codes)))

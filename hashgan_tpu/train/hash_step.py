@@ -76,8 +76,17 @@ def make_encoder_train_step(
             fake_x = gan_to_encoder_input(jax.lax.stop_gradient(fake_img))
             x = jnp.concatenate([x, fake_x], axis=0)
             all_labels = jnp.concatenate([labels, fake_labels], axis=0)
+            if cfg.train.fake_pair_weight != 1.0:
+                sample_weight = jnp.concatenate([
+                    jnp.ones((images_u8.shape[0],), jnp.float32),
+                    jnp.full((n_fake,), cfg.train.fake_pair_weight,
+                             jnp.float32),
+                ])
+            else:
+                sample_weight = None
         else:
             all_labels = labels
+            sample_weight = None
 
         if cfg.encoder.input_resize > 0:
             # Reference AlexNet protocol (resize 256 -> random crop 227):
@@ -101,6 +110,7 @@ def make_encoder_train_step(
                 class_balance_cap=hl.class_balance_cap,
                 quantization_weight=hl.quantization_weight,
                 balance_weight=hl.balance_weight,
+                sample_weight=sample_weight,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -81,6 +81,10 @@ GAN_JSON = os.environ.get("GAN_JSON", "")
 # SCARCE_TRAIN=2000, so the paper's delta needs either deeper scarcity or
 # the calibrated task. Default preserves the historical runs.
 CONFIG_PRESET = os.environ.get("CONFIG_PRESET", "config3")
+# TRAIN_JSON='{"fake_pair_weight": 0.3, ...}': TrainConfig overrides for
+# the arms (e.g. the stage-II fake-pair discount — round-4 knob pricing in
+# imperfect G conditioning).
+TRAIN_JSON = os.environ.get("TRAIN_JSON", "")
 # RUN_TAG=<tag>: separate artifact root for re-runs of the same arm set at a
 # different budget (e.g. ENC_ITERS=50000 RUN_TAG=e50k). Needed because the
 # encoder's linear lr decay is tied to ENC_ITERS — resuming a 20k-budget
@@ -121,6 +125,7 @@ def base_config(arm: str):
             cfg.train, batch_size=64,
             eval_every=5000, checkpoint_every=10_000, log_every=500,
             sample_every=5000, device_data=True,
+            **(json.loads(TRAIN_JSON) if TRAIN_JSON else {}),
         ),
     )
     if SMOKE:

@@ -103,3 +103,62 @@ def test_wml_cross_set_pairs():
     lb = jnp.asarray(np.eye(2)[rng.integers(0, 2, 3)], dtype=jnp.float32)
     loss, _ = wml_pairwise_loss(ca, la, codes_b=cb, labels_b=lb)
     assert np.isfinite(float(loss))
+
+
+def test_wml_sample_weight_identity_and_realonly_limit():
+    """fake_pair_weight semantics: weight 1 == unweighted (bit-identical
+    values); weight 0 on the fake rows reproduces the real-only pair NLL
+    exactly (class_balance=False: the weighted-mean normalizer is the
+    weighted pair count)."""
+    rng = np.random.default_rng(7)
+    real = jnp.asarray(rng.standard_normal((6, 8)), dtype=jnp.float32)
+    fake = jnp.asarray(rng.standard_normal((3, 8)), dtype=jnp.float32)
+    lr = jnp.asarray(np.eye(3)[rng.integers(0, 3, 6)], dtype=jnp.float32)
+    lf = jnp.asarray(np.eye(3)[rng.integers(0, 3, 3)], dtype=jnp.float32)
+    codes = jnp.concatenate([real, fake])
+    labels = jnp.concatenate([lr, lf])
+    kw = dict(alpha=3.0, similarity="inner_product", class_balance=False,
+              quantization_weight=0.0)
+
+    base, m_base = wml_pairwise_loss(codes, labels, **kw)
+    ones, m_ones = wml_pairwise_loss(
+        codes, labels, sample_weight=jnp.ones(9), **kw)
+    assert float(base) == float(ones)
+
+    sw = jnp.concatenate([jnp.ones(6), jnp.zeros(3)])
+    _, m_zero = wml_pairwise_loss(codes, labels, sample_weight=sw, **kw)
+    _, m_real = wml_pairwise_loss(real, lr, **kw)
+    np.testing.assert_allclose(float(m_zero["pair_nll"]),
+                               float(m_real["pair_nll"]), rtol=1e-6)
+
+    # intermediate weight: pair matrix scaling real-real 1, real-fake f,
+    # fake-fake f^2 — check against a manual computation.
+    f = 0.25
+    swf = jnp.concatenate([jnp.ones(6), jnp.full((3,), f)])
+    _, m_f = wml_pairwise_loss(codes, labels, sample_weight=swf, **kw)
+    c = np.asarray(codes)
+    lab = np.asarray(labels)
+    s = (lab @ lab.T > 0).astype(float)
+    theta = (3.0 / 8) * (c @ c.T)
+    nll = np.logaddexp(0.0, theta) - s * theta
+    mask = 1.0 - np.eye(9)
+    wvec = np.concatenate([np.ones(6), np.full(3, f)])
+    w = mask * np.outer(wvec, wvec)
+    expect = (w * nll).sum() / w.sum()
+    assert abs(float(m_f["pair_nll"]) - expect) < 1e-5
+
+
+def test_wml_sample_weight_cross_set():
+    """codes_b path: weights apply to the query side rows."""
+    rng = np.random.default_rng(3)
+    ca = jnp.asarray(rng.standard_normal((4, 8)), dtype=jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((3, 8)), dtype=jnp.float32)
+    la = jnp.asarray(np.eye(2)[rng.integers(0, 2, 4)], dtype=jnp.float32)
+    lb = jnp.asarray(np.eye(2)[rng.integers(0, 2, 3)], dtype=jnp.float32)
+    kw = dict(class_balance=False, quantization_weight=0.0)
+    sw = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    _, m = wml_pairwise_loss(ca, la, codes_b=cb, labels_b=lb,
+                             sample_weight=sw, **kw)
+    _, m2 = wml_pairwise_loss(ca[::2], la[::2], codes_b=cb, labels_b=lb, **kw)
+    np.testing.assert_allclose(float(m["pair_nll"]),
+                               float(m2["pair_nll"]), rtol=1e-6)

@@ -77,3 +77,55 @@ def test_calibrated_presets():
     c3 = get_config("config3_cal")
     assert c3.data.n_classes == 100 and c3.data.multi_label
     assert c3.data.n_database == get_config("config3").data.n_database
+
+
+def test_fake_pair_weight_threads_through_encoder_step():
+    """fake_pair_weight=0 must make the gan-augmented step's pair gradient
+    equal the real-only pair structure: pair_nll matches a run whose fake
+    pairs carry no weight, and differs from the uniform-weight run."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from hashgan_tpu.configs import (
+        Config, DataConfig, EncoderConfig, GanConfig, TrainConfig,
+    )
+    from hashgan_tpu.data import make_splits
+    from hashgan_tpu.data.pipeline import BatchIterator
+    from hashgan_tpu.models import Discriminator, Generator, SmallCNNEncoder
+    from hashgan_tpu.train import (
+        create_encoder_state, create_gan_state, make_encoder_train_step,
+    )
+
+    def cfg_with(w):
+        return Config(
+            data=DataConfig(n_train=64, n_query=16, n_database=64,
+                            n_classes=4),
+            gan=GanConfig(dim=16, z_dim=32, n_critic=2, iters=10),
+            encoder=EncoderConfig(arch="small_cnn", bits=16, lr=1e-3),
+            train=TrainConfig(batch_size=16, fake_ratio=0.5,
+                              fake_pair_weight=w),
+            use_gan=True,
+        )
+
+    cfg = cfg_with(1.0)
+    splits = make_splits(cfg.data)
+    enc = SmallCNNEncoder(bits=cfg.encoder.bits, dim=16)
+    gen = Generator(image_size=32, n_labels=4, dim=16)
+    disc = Discriminator(image_size=32, n_labels=4, dim=16)
+    gstate = create_gan_state(
+        jax.random.key(0), gen, disc, cfg.gan, (32, 32, 3), 4)
+    imgs, labs = next(
+        BatchIterator(splits["train"], cfg.train.batch_size, seed=0))
+
+    def run(w):
+        step = make_encoder_train_step(enc, cfg_with(w), generator=gen)
+        state = create_encoder_state(
+            jax.random.key(1), enc, cfg.encoder, (32, 32, 3))
+        _, metrics = step(state, jnp.asarray(imgs), jnp.asarray(labs),
+                          jax.random.key(2), gstate.g_params, gstate.g_stats)
+        return float(metrics["pair_nll"])
+
+    uniform, discounted = run(1.0), run(0.0)
+    assert uniform != discounted  # the knob reaches the loss
