@@ -78,6 +78,12 @@ class GanConfig:
     # embedding and CondBN tables (one-hot unaffected): keeps conditioning
     # magnitude independent of the number of active concepts.
     cond_label_norm: bool = False
+    # Projection critic conditioning (Miyato & Koyama): adds <V y, phi(x)>
+    # to the critic score so the conditioning gradient reaches G through
+    # the adversarial term itself rather than only the acgan_scale_g-scaled
+    # aux CE (measured chance-pinned at 100 classes — docs/BENCHMARKS.md
+    # phase-4 conditioning sweep). False keeps the pre-round-4 param tree.
+    d_projection: bool = False
 
 
 @dataclass(frozen=True)

@@ -192,9 +192,19 @@ class Discriminator(nn.Module):
     # width (pre-round-4 parameter tree). Mirror of Generator.width_mults:
     # widths grow as resolution shrinks.
     width_mults: Optional[tuple] = None
+    # Projection conditioning (Miyato & Koyama, "cGANs with projection
+    # discriminator"): score(x, y) = critic(phi(x)) + <V y, phi(x)>.
+    # The label-dependent inner product gives the critic a per-class score
+    # direction whose gradient reaches G directly through the adversarial
+    # term — the standard fix when an ACGAN-style aux CE fails to condition
+    # at large class counts (measured on config3_cal: aux-only conditioning
+    # stays at chance for 14k cycles, docs/BENCHMARKS.md phase-4 sweep).
+    # Multi-hot labels sum their class embeddings. projection=False leaves
+    # the parameter tree bit-identical to pre-round-4 checkpoints.
+    projection: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, labels: Optional[jnp.ndarray] = None):
         n_down_extra = int(math.log2(self.image_size // 32))  # 0 @32, 1 @64
         n_blocks = 4 + n_down_extra
         mults = self.width_mults or (1,) * n_blocks
@@ -231,4 +241,11 @@ class Discriminator(nn.Module):
         h = h.mean(axis=(1, 2)).astype(jnp.float32)  # global mean-pool
         score = nn.Dense(1, name="critic")(h)[:, 0]
         aux = nn.Dense(self.n_labels, name="aux")(h)
+        if self.projection and labels is not None:
+            # Without labels (e.g. the sample-quality aux-classifier probe)
+            # the unconditional part of the decomposed score stands alone.
+            v = nn.Dense(h.shape[-1], use_bias=False, name="proj_embed")(
+                labels.astype(jnp.float32)
+            )
+            score = score + jnp.sum(v * h, axis=-1)
         return score, aux

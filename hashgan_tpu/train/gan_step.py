@@ -61,8 +61,12 @@ def make_gan_cycle(generator, discriminator, cfg: Config) -> Callable:
             )
 
             def loss_fn(dp):
+                # labels ride the closure: real, fake, and GP interpolates
+                # all condition on the SAME labs (fakes are generated with
+                # the real batch's labels), so a projection critic sees a
+                # consistent y while jax.grad differentiates w.r.t. x only.
                 return critic_loss_fn(
-                    lambda x: discriminator.apply({"params": dp}, x),
+                    lambda x: discriminator.apply({"params": dp}, x, labs),
                     rgp, real, fake, labs,
                     gp_lambda=gan.gp_lambda,
                     acgan_scale=gan.acgan_scale,
@@ -92,7 +96,7 @@ def make_gan_cycle(generator, discriminator, cfg: Config) -> Callable:
                 z, labs_g, train=True, mutable=["batch_stats"],
             )
             loss, metrics = generator_loss_fn(
-                lambda x: discriminator.apply({"params": d_params}, x),
+                lambda x: discriminator.apply({"params": d_params}, x, labs_g),
                 fake, labs_g,
                 acgan_scale_g=gan.acgan_scale_g,
                 multi_label=multi,

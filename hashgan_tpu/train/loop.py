@@ -72,6 +72,7 @@ class Experiment:
             image_size=d.image_size, n_labels=d.n_classes, dim=cfg.gan.dim,
             dtype=gdtype, use_layernorm=cfg.gan.d_layernorm,
             width_mults=cfg.gan.d_width_mults,
+            projection=cfg.gan.d_projection,
         )
 
         rng = jax.random.key(cfg.train.seed)

@@ -115,7 +115,10 @@ def create_gan_state(
     y = jnp.zeros((2, n_labels), jnp.float32)
     g_vars = generator.init(rg, z, y, train=True)
     x = jnp.zeros((2,) + tuple(image_shape), jnp.float32)
-    d_vars = discriminator.init(rd, x)
+    # Labels at init so a projection critic (d_projection) creates its
+    # embedding table; without projection the extra arg leaves the
+    # parameter tree untouched.
+    d_vars = discriminator.init(rd, x, y)
     g_tx, d_tx = make_gan_tx(cfg), make_gan_tx(cfg, updates_per_iter=cfg.n_critic)
     return GanState(
         g_params=g_vars["params"],

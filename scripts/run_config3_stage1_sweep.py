@@ -105,6 +105,18 @@ ARMS.update({
                "train": {"batch_size": 128}},
 })
 
+# --- phase 5 (conditioning escalation). Phase-4 measured: acgan_scale_g
+# is THE gate — 3.0 moved cond_acc_tmpl chance->0.141 (still climbing at
+# probe end) while n_critic=2 starved it and one-hot failed identically.
+# Escalate the weight, and probe the projection critic (d_projection) —
+# the architectural route that conditions through the adversarial term
+# itself instead of a separately-weighted aux CE.
+ARMS.update({
+    "c_gaux10": {**_COMBO, "acgan_scale_g": 10.0},
+    "c_proj": {**_COMBO, "d_projection": True},
+    "c_proj_gaux3": {**_COMBO, "d_projection": True, "acgan_scale_g": 3.0},
+})
+
 
 def _split_overrides(overrides: dict) -> dict:
     """Flat dicts are GanConfig overrides (phase 1-3 arms); dicts keyed by

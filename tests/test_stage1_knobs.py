@@ -143,3 +143,72 @@ def test_d_layernorm_threads_from_config():
     d_params = jax.device_get(exp.gan_state.d_params)
     flat = jax.tree_util.tree_flatten_with_path(d_params)[0]
     assert any("LayerNorm" in jax.tree_util.keystr(k) for k, _ in flat)
+
+
+def test_projection_off_preserves_param_tree():
+    """projection=False must leave the critic parameter tree bit-identical
+    to the pre-round-4 Discriminator even when labels are passed at init
+    (checkpoint compatibility — create_gan_state now always passes y)."""
+    rng = jax.random.key(7)
+    x = jnp.zeros((2, 32, 32, 3))
+    y = jnp.eye(4)[:2]
+    v_old = Discriminator(image_size=32, n_labels=4, dim=8).init(rng, x)
+    v_new = Discriminator(image_size=32, n_labels=4, dim=8).init(rng, x, y)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.array_equal(a, b)), v_old, v_new
+        )
+    )
+
+
+def test_projection_scores_condition_on_labels():
+    rng = jax.random.key(8)
+    disc = Discriminator(image_size=32, n_labels=4, dim=8, projection=True)
+    x = jax.random.normal(rng, (3, 32, 32, 3))
+    y0 = jnp.eye(4)[jnp.array([0, 1, 2])]
+    y1 = jnp.eye(4)[jnp.array([3, 3, 3])]
+    dv = disc.init(rng, x, y0)
+    assert "proj_embed" in dv["params"]
+    s0, aux0 = disc.apply(dv, x, y0)
+    s1, aux1 = disc.apply(dv, x, y1)
+    # projection term makes the score label-dependent; aux head is not
+    assert not np.allclose(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(aux0), np.asarray(aux1))
+    # score decomposition: apply without labels = unconditional part, and
+    # the label term is the proj_embed inner product (multi-hot sums class
+    # embeddings: y0+y1 rows == row(y0) + row(y1) - unconditional)
+    s_un, _ = disc.apply(dv, x)
+    s_both, _ = disc.apply(dv, x, y0 + y1)
+    np.testing.assert_allclose(
+        np.asarray(s_both - s_un), np.asarray((s0 - s_un) + (s1 - s_un)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_projection_gan_cycle_runs_and_threads_from_config():
+    from hashgan_tpu.configs import get_config
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = get_config("config3")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, image_size=32, n_train=64, n_query=16, n_database=64
+        ),
+        gan=dataclasses.replace(
+            cfg.gan, dim=8, z_dim=8, d_projection=True, iters=2,
+            n_critic=2, ema_decay=0.0,
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=8, workdir="/tmp/t_proj",
+            log_every=1, sample_every=1 << 30, checkpoint_every=1 << 30,
+            eval_every=1 << 30,
+        ),
+    )
+    exp = Experiment(cfg, use_mesh=False)
+    assert exp.discriminator.projection
+    d_params = jax.device_get(exp.gan_state.d_params)
+    assert "proj_embed" in d_params
+    metrics = exp.train_gan()
+    assert np.isfinite(metrics["wasserstein"])
+    assert np.isfinite(metrics["grad_penalty"])
