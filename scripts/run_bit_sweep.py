@@ -21,8 +21,10 @@ device-resident feed (data/device_data.py), so a full 4-point sweep is
 
 Usage:
   PYTHONPATH=/root/repo:$PYTHONPATH python scripts/run_bit_sweep.py
-Env: BITS="16,24,32,48", ITERS=20000, N_CLASSES=100, R=1000,
-SMOKE=1 (tiny tunnel-free CPU run).
+Env: BITS="16,24,32,48", ITERS=20000, N_CLASSES=100, R=1000, SEED=0
+(data draw + init seed — the round-4 re-measurement showed single-seed
+width comparisons are noise-dominated at this geometry; sweep seeds and
+report mean±range), SMOKE=1 (tiny tunnel-free CPU run).
 Artifacts: runs/bit_sweep/{bits<b>/, sweep.json, sweep.md}.
 """
 
@@ -39,6 +41,7 @@ BITS = tuple(int(b) for b in os.environ.get("BITS", "16,24,32,48").split(","))
 ITERS = int(os.environ.get("ITERS", 20_000))
 N_CLASSES = int(os.environ.get("N_CLASSES", 100))
 R = int(os.environ.get("R", 1000))
+SEED = int(os.environ.get("SEED", 0))
 SMOKE = os.environ.get("SMOKE", "") == "1"
 # SWEEP_TAG=<tag>: separate artifact root (runs/bit_sweep_<tag>). Use for
 # budget-extension points (e.g. BITS=48 ITERS=100000 SWEEP_TAG=100k) so the
@@ -58,7 +61,7 @@ def build_config(bits: int):
     cfg = get_config("config1")
     cfg = dataclasses.replace(
         cfg,
-        data=dataclasses.replace(cfg.data, n_classes=N_CLASSES),
+        data=dataclasses.replace(cfg.data, n_classes=N_CLASSES, seed=SEED),
         encoder=dataclasses.replace(
             cfg.encoder, bits=bits, iters=ITERS, decay_lr=True),
         index=dataclasses.replace(cfg.index, bits=bits),
