@@ -290,6 +290,24 @@ def _cifar10_encoder_only_cal() -> Config:
     )
 
 
+def _cifar10_gan_cal() -> Config:
+    """config2 on the CALIBRATED single-label task (VERDICT r4 #7): 100
+    classes at the CIFAR geometry, where MAP lands mid-range (bit-sweep
+    measurements, docs/artifacts/bit_sweep_50k.json) instead of the
+    10-class task's 1.0 saturation. Eval R=1000 matches the calibrated
+    protocol the bit sweeps established (at 100 classes each class has
+    ~540 database items, so R=5000 is mostly forced negatives).
+    Conditioning at <=21 one-hot classes is known-good; this is the
+    easier-direction scarce-delta testbed (32px one-hot vs config3_cal's
+    64px multi-hot)."""
+    cfg = _cifar10_gan()
+    return dataclasses.replace(
+        cfg, name="cifar10_48bit_gan_cal",
+        data=dataclasses.replace(cfg.data, n_classes=100),
+        eval=dataclasses.replace(cfg.eval, R=1000),
+    )
+
+
 def _nuswide_gan_cal() -> Config:
     """config3 on a CALIBRATED multi-label task: 21 concepts saturate both
     arms at the full split (cotrain 0.9999 / realonly 1.0000 —
@@ -309,6 +327,7 @@ _PRESETS = {
     "imagenet100_64bit": _imagenet100,
     "synthetic_1m_128bit_scan": _synthetic_1m_scan,
     "cifar10_32bit_encoder_only_cal": _cifar10_encoder_only_cal,
+    "cifar10_48bit_gan_cal": _cifar10_gan_cal,
     "nuswide_64bit_gan_cal": _nuswide_gan_cal,
 }
 
@@ -319,6 +338,7 @@ _PRESETS["config3"] = _nuswide_gan
 _PRESETS["config4"] = _imagenet100
 _PRESETS["config5"] = _synthetic_1m_scan
 _PRESETS["config1_cal"] = _cifar10_encoder_only_cal
+_PRESETS["config2_cal"] = _cifar10_gan_cal
 _PRESETS["config3_cal"] = _nuswide_gan_cal
 
 

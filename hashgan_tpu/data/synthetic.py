@@ -244,6 +244,12 @@ def _use_device_gen(cfg: DataConfig) -> bool:
         return True
     if mode in ("off", "0", "false"):
         return False
+    if cfg.multi_label and cfg.n_classes < 3:
+        # The device generator draws 3 concept slots per image (see the
+        # assert in _make_synthetic_device); degenerate multi-label spaces
+        # stay on the numpy path. Still a pure function of cfg, so cache
+        # keys and checkpoint provenance remain stable.
+        return False
     per_image = cfg.image_size * cfg.image_size * cfg.channels
     largest = max(cfg.n_train, cfg.n_query, cfg.n_database)
     return largest * per_image >= _DEVICE_MIN_ELEMS

@@ -152,25 +152,33 @@ class ServingPipeline:
                 sharded_mxu_topk_large,
             )
 
-            mesh, n = self._mesh, gal.n
-            has_pm8 = gal.gallery_grouped[4] is not None
+            mesh = self._mesh
+            # (has_pm8, n) are derived from the CURRENT gallery tuple at
+            # each submit (ADVICE r4: a gallery later rebuilt with/without
+            # its pm8 bf16 copy, or at a new size, must not hit a compiled
+            # step of stale arity); each variant's jit is cached so
+            # same-shape gallery swaps still never recompile.
+            self._mesh_step_cache = {}
 
-            def mesh_step(params, images_u8, grouped, canon_bg, valids,
-                          *pm8):
-                codes = encode(params, images_u8)
-                pq = pack_codes(codes)
-                if k <= 256:
-                    return sharded_mxu_topk(
+            def build_mesh_step(has_pm8: bool, n: int):
+                def mesh_step(params, images_u8, grouped, canon_bg, valids,
+                              *pm8):
+                    codes = encode(params, images_u8)
+                    pq = pack_codes(codes)
+                    if k <= 256:
+                        return sharded_mxu_topk(
+                            mesh, pq, grouped, canon_bg, valids, n=n, k=k,
+                            mode=mode, interpret=interpret,
+                            gallery_pm8=pm8[0] if has_pm8 else None,
+                        )
+                    return sharded_mxu_topk_large(
                         mesh, pq, grouped, canon_bg, valids, n=n, k=k,
                         mode=mode, interpret=interpret,
-                        gallery_pm8=pm8[0] if has_pm8 else None,
                     )
-                return sharded_mxu_topk_large(
-                    mesh, pq, grouped, canon_bg, valids, n=n, k=k,
-                    mode=mode, interpret=interpret,
-                )
 
-            self._step = jax.jit(mesh_step)
+                return jax.jit(mesh_step)
+
+            self._build_mesh_step = build_mesh_step
         else:
             topk_fn = mxu_topk if k <= 256 else mxu_topk_large
             topk_fn = functools.partial(
@@ -192,8 +200,13 @@ class ServingPipeline:
         gal = self.engine.gallery
         if self._mesh is not None:
             grouped, _canon, valids, bg, pm8 = gal.gallery_grouped
+            key = (pm8 is not None, gal.n)
+            step = self._mesh_step_cache.get(key)
+            if step is None:
+                step = self._mesh_step_cache[key] = \
+                    self._build_mesh_step(*key)
             extra = (pm8,) if pm8 is not None else ()
-            d, i = self._step(
+            d, i = step(
                 self.engine.params, _jnp.asarray(images_u8),
                 grouped, bg, valids, *extra,
             )

@@ -285,6 +285,11 @@ def _mxu_fullkey_kernel(q_ref, g_ref, base_ref, min_ref, gb_ref, *,
     else:
         d = colmin // L
         s = colmin % L
+    # Pad lanes carry PAD_PENALTY-sized d values whose d*stride would
+    # overflow int32; zero them before composing (the select below discards
+    # them anyway — this just keeps the arithmetic overflow-free).
+    d = jnp.where(is_pad, 0, d)
+    s = jnp.where(is_pad, 0, s)
     cols = (pl.program_id(0) * cb
             + jax.lax.broadcasted_iota(jnp.int32, colmin.shape, 1))
     full = d * jnp.int32(stride) + s * jnp.int32(c_total) + cols
@@ -331,6 +336,8 @@ def _mxu_fullkey_kernel_lanes(q_ref, g_ref, baset_ref, min_ref, gb_ref, *,
     else:
         d = colmin // L
         s = colmin % L
+    d = jnp.where(is_pad, 0, d)  # keep d*stride overflow-free on pad lanes
+    s = jnp.where(is_pad, 0, s)
     cols = (pl.program_id(0) * cb
             + jax.lax.broadcasted_iota(jnp.int32, colmin.shape, 1))
     full = d * jnp.int32(stride) + s * jnp.int32(c_total) + cols

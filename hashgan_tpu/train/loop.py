@@ -705,14 +705,25 @@ class Experiment:
 
         Synthetic runs: the keyed generation id INCLUDING which generator
         ran (numpy vs device ``_dev1`` — distribution-equal, bit-different;
-        data/synthetic.synth_generation_key). Recorded beside checkpoints so
-        a resume that would silently regenerate different bits (e.g. a cache
-        wipe flipping the auto-routing) fails loudly instead."""
+        data/synthetic.synth_generation_key). List-file/cifar runs: a
+        CONTENT fingerprint (sha256 of the list file / sorted name+size of
+        the cifar dir), so moving an identical dataset to a new mount still
+        resumes, while editing the list in place at the same path is
+        caught. Recorded beside checkpoints so a resume that would silently
+        feed different data fails loudly instead."""
+        import hashlib
+
         d = self.cfg.data
         if d.cifar10_dir:
-            return f"cifar10:{os.path.abspath(d.cifar10_dir)}"
+            h = hashlib.sha256()
+            for name in sorted(os.listdir(d.cifar10_dir)):
+                sz = os.path.getsize(os.path.join(d.cifar10_dir, name))
+                h.update(f"{name}:{sz};".encode())
+            return f"cifar10:{h.hexdigest()[:16]}"
         if d.train_list:
-            return f"lists:{os.path.abspath(d.train_list)}"
+            with open(d.train_list, "rb") as f:
+                digest = hashlib.sha256(f.read()).hexdigest()[:16]
+            return f"lists:{digest}"
         from hashgan_tpu.data.synthetic import synth_generation_key
 
         return "synth:" + synth_generation_key(d)
@@ -746,7 +757,9 @@ class Experiment:
                 "wipe flipped the numpy/device generation auto-routing). "
                 "Resuming would silently change the training data mid-run. "
                 "Pin HASHGAN_SYNTH_DEVICE=on/off to match the recorded "
-                "path, or start a fresh workdir."
+                "path (synthetic), restore the original list/cifar files "
+                "(list-file ids are content fingerprints, not paths), or "
+                "start a fresh workdir."
             )
 
     def save_checkpoint(self) -> None:

@@ -79,7 +79,9 @@ GAN_JSON = os.environ.get("GAN_JSON", "")
 # concepts — configs/config.py round 4). Measured this round: the default
 # 21-concept task saturates BOTH arms (MAP@5000 = 1.0) even at
 # SCARCE_TRAIN=2000, so the paper's delta needs either deeper scarcity or
-# the calibrated task. Default preserves the historical runs.
+# the calibrated task. Default preserves the historical runs. Round 5:
+# any GAN preset works (config2_cal runs the 32px one-hot calibrated
+# direction through the same arm structure).
 CONFIG_PRESET = os.environ.get("CONFIG_PRESET", "config3")
 # TRAIN_JSON='{"fake_pair_weight": 0.3, ...}': TrainConfig overrides for
 # the arms (e.g. the stage-II fake-pair discount — round-4 knob pricing in
@@ -92,15 +94,28 @@ TRAIN_JSON = os.environ.get("TRAIN_JSON", "")
 # reused across budgets by copying the stage-1 checkpoint dir into the new
 # ROOT/cotrain/checkpoints (the GAN schedule is untouched by ENC_ITERS).
 RUN_TAG = os.environ.get("RUN_TAG", "")
+# config3 keeps the historical root name; config3_cal keeps its round-4
+# "_cal" suffix; any other preset (e.g. config2_cal) is spelled out.
+_PRESET_SUFFIX = ("" if CONFIG_PRESET == "config3"
+                  else "_cal" if CONFIG_PRESET == "config3_cal"
+                  else f"_{CONFIG_PRESET}")
 ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "runs",
                  "config3_ref_horizon"
-                 + ("_cal" if CONFIG_PRESET != "config3" else "")
+                 + _PRESET_SUFFIX
                  + (f"_scarce{SCARCE_TRAIN}" if SCARCE_TRAIN else "")
                  + (f"_{RUN_TAG}" if RUN_TAG else "")
                  + ("_smoke" if SMOKE else ""))
 )
-PHASES = ("stage1", "cotrain") + (() if SKIP_ABLATION else ("realonly",))
+# PHASES=stage1 / PHASES=cotrain,realonly: run a subset of the arms (e.g.
+# stage1 alone so its completed checkpoint can be copied into a sibling
+# RUN_TAG root before the encoder phases touch it — stage-II variants like
+# the fake_pair_weight arm then reuse one stage-I training run).
+_DEFAULT_PHASES = ("stage1", "cotrain") + (
+    () if SKIP_ABLATION else ("realonly",))
+PHASES = tuple(os.environ.get("PHASES", ",".join(_DEFAULT_PHASES))
+               .split(","))
+assert all(p in ("stage1", "cotrain", "realonly") for p in PHASES), PHASES
 
 
 def base_config(arm: str):

@@ -214,6 +214,11 @@ def main() -> int:
             "overrides": {k: str(v) for k, v in overrides.items()},
             "wall_s": time.time() - t0,
             "w_tail": tail_metric(wd, "wasserstein"),
+            # d_projection arms additionally log a projection-free critic
+            # readout (train/gan_step.py `wasserstein_noproj`): their raw
+            # `wasserstein` includes <V y, phi(x)> and is NOT comparable to
+            # non-projection arms (VERDICT r4 weak #3).
+            "w_noproj_tail": tail_metric(wd, "wasserstein_noproj"),
             "gp_tail": tail_metric(wd, "grad_penalty"),
             "g_aux_tail": tail_metric(wd, "g_aux_ce"),
             "d_aux_tail": tail_metric(wd, "d_aux_ce"),
@@ -226,9 +231,15 @@ def main() -> int:
         print(f"[{name}] W_tail={rec['w_tail']} gp={rec['gp_tail']} "
               f"g_aux={rec['g_aux_tail']} wall={rec['wall_s']:.0f}s",
               flush=True)
+    def _comparable_w(v):
+        # Projection arms rank by the projection-free readout so the
+        # cross-arm W ordering compares one functional.
+        return v["w_tail"] if v.get("w_noproj_tail") is None \
+            else v["w_noproj_tail"]
+
     ranked = sorted(
-        ((abs(v["w_tail"]), k) for k, v in summary["arms"].items()
-         if v["w_tail"] is not None))
+        ((abs(_comparable_w(v)), k) for k, v in summary["arms"].items()
+         if _comparable_w(v) is not None))
     summary["ranking_by_abs_w"] = [[k, w] for w, k in ranked]
     # Phase-4 arms attack conditioning, not W: rank by the template
     # classifier's conditional accuracy on samples too (higher = better;
