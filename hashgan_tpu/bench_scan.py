@@ -37,16 +37,24 @@ import numpy as np
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def _phase_breakdown(packed_q, gallery_g, canon_bg, n, k, qs, iters):
+def _phase_breakdown(packed_q, gallery_g, canon_bg, n, k, qs, iters,
+                     rescan_fused=False):
     """Device-amortized per-phase latency of the exact MXU engine at this
     shape: scan (Pallas fullkey kernel), +select (winner columns), +rescan,
     full (= +merge). Mirrors mxu_topk's exact path stage-for-stage so the
     subtractive split attributes time to the right stage; exactness of the
-    composed path is witnessed separately against the sort engine."""
+    composed path is witnessed separately against the sort engine.
+
+    Variance bands (VERDICT r4 #6): every stage is timed >= 5x within the
+    session; ``phase_stage_ms`` carries {min, med, max} per cumulative
+    stage so a phase regression can't hide inside tunnel-session noise.
+    ``phase_ms`` stays the min-based subtractive split (round-4 field);
+    ``phase_ms_median`` is the same split from the medians."""
     from hashgan_tpu.ops.mxu_scan import (
         _rescan_winner_columns,
         _twolevel_topk_min,
         build_key_base,
+        fused_rescan_keys,
         mxu_fullkey_scan,
         mxu_topk,
         unpack_to_pm1,
@@ -79,28 +87,54 @@ def _phase_breakdown(packed_q, gallery_g, canon_bg, n, k, qs, iters):
 
     def thru_rescan(pq):
         cols = _select(pq)
-        rescan = _rescan_winner_columns(
-            pq, canon_bg, cols, L, c, w, stride, n
-        )
+        if rescan_fused:
+            rescan = fused_rescan_keys(
+                pq, canon_bg, cols, L, c, w, stride, n
+            )
+        else:
+            rescan = _rescan_winner_columns(
+                pq, canon_bg, cols, L, c, w, stride, n
+            )
         return rescan[:, :1].sum().astype(jnp.float32)
 
     def full_path(pq):
         return mxu_topk(
-            pq, gallery_g, canon_bg, valid_n=n, k=k
+            pq, gallery_g, canon_bg, valid_n=n, k=k,
+            rescan_fused=rescan_fused,
         )[0].sum().astype(jnp.float32)
 
+    n_rep = max(iters, 5)
     ts = {
-        "scan": _time_amortized(scan_only, qs, iters=iters),
-        "thru_select": _time_amortized(thru_select, qs, iters=iters),
-        "thru_rescan": _time_amortized(thru_rescan, qs, iters=iters),
-        "full": _time_amortized(full_path, qs, iters=iters),
+        "scan": _time_amortized(scan_only, qs, iters=n_rep,
+                                return_times=True),
+        "thru_select": _time_amortized(thru_select, qs, iters=n_rep,
+                                       return_times=True),
+        "thru_rescan": _time_amortized(thru_rescan, qs, iters=n_rep,
+                                       return_times=True),
+        "full": _time_amortized(full_path, qs, iters=n_rep,
+                                return_times=True),
     }
-    return {
-        "scan_ms": 1e3 * ts["scan"],
-        "select_ms": 1e3 * max(ts["thru_select"] - ts["scan"], 0.0),
-        "rescan_ms": 1e3 * max(ts["thru_rescan"] - ts["thru_select"], 0.0),
-        "merge_ms": 1e3 * max(ts["full"] - ts["thru_rescan"], 0.0),
-        "full_ms": 1e3 * ts["full"],
+    mins = {s: min(v) for s, v in ts.items()}
+    meds = {s: float(np.median(v)) for s, v in ts.items()}
+
+    def split(t):
+        return {
+            "scan_ms": 1e3 * t["scan"],
+            "select_ms": 1e3 * max(t["thru_select"] - t["scan"], 0.0),
+            "rescan_ms": 1e3 * max(t["thru_rescan"] - t["thru_select"], 0.0),
+            "merge_ms": 1e3 * max(t["full"] - t["thru_rescan"], 0.0),
+            "full_ms": 1e3 * t["full"],
+        }
+
+    out = split(mins)
+    out["rescan_fused"] = rescan_fused
+    return out, {
+        "phase_ms_median": split(meds),
+        "phase_stage_ms": {
+            s: {"min": 1e3 * min(v), "med": 1e3 * float(np.median(v)),
+                "max": 1e3 * max(v), "n": len(v)}
+            for s, v in ts.items()
+        },
     }
 
 
@@ -116,10 +150,13 @@ def _time_single(fn, iters: int) -> float:
     return min(times)
 
 
-def _time_amortized(fn, qs: jnp.ndarray, iters: int = 3) -> float:
+def _time_amortized(fn, qs: jnp.ndarray, iters: int = 3,
+                    return_times: bool = False):
     """Per-scan device time: one dispatch runs fn over every query batch in
     ``qs`` (R, Q, W) via lax.scan, returning a scalar checksum (4-byte
-    host copy). Wall-clock / R isolates device throughput."""
+    host copy). Wall-clock / R isolates device throughput.
+    ``return_times``: the full per-repeat list (each /R) instead of the
+    min — the raw material for variance bands."""
     r = qs.shape[0]
 
     @jax.jit
@@ -135,6 +172,8 @@ def _time_amortized(fn, qs: jnp.ndarray, iters: int = 3) -> float:
         t0 = time.perf_counter()
         _ = np.asarray(run(qs))
         times.append(time.perf_counter() - t0)
+    if return_times:
+        return [t / r for t in times]
     return min(times) / r
 
 
@@ -216,6 +255,10 @@ def run_bench(
     def scan_mxu(pq=packed_q, mode="exact"):
         return mxu_topk(pq, gallery_g, canon_bg, valid_n=n, k=k, mode=mode)
 
+    def scan_mxu_fused(pq=packed_q):
+        return mxu_topk(pq, gallery_g, canon_bg, valid_n=n, k=k,
+                        rescan_fused=True)
+
     def scan_groupmin(pq=packed_q):
         return groupmin_topk(
             pq, gallery_g, packed_canonical, valid_n=n, k=k, repair=8
@@ -269,14 +312,44 @@ def run_bench(
             "tf_per_sec": float(tf_per_sec),
             "mfu": float(mfu),
         })
-    phases = None
+    phases, phase_spread = None, None
+    fused_detail = {}
     if jax.default_backend() not in ("cpu",):
         try:
-            phases = _phase_breakdown(
+            phases, phase_spread = _phase_breakdown(
                 packed_q, gallery_g, canon_bg, n, k, qs, iters
             )
         except Exception as e:  # never let the roofline kill the detail
             phases = {"error": repr(e)}
+        # Fused-rescan engine (round 5, ops/mxu_scan.fused_rescan_keys):
+        # measure + witness alongside the production engine so the default
+        # flip is evidence-backed. Never let it kill the detail either.
+        try:
+            dm_f, im_f = scan_mxu_fused()
+            fused_match = bool((np.asarray(im_f) == ie).all()) and bool(
+                (np.asarray(dm_f) == np.asarray(dm)).all()
+            )
+            _, im_ft = scan_mxu_fused(pq_ties)
+            fused_ties = bool((np.asarray(im_ft) == np.asarray(ie_t)).all())
+            dt_fused = _time_amortized(
+                lambda pq: scan_mxu_fused(pq)[0].sum().astype(jnp.float32),
+                qs, iters=max(iters, 5), return_times=True,
+            )
+            fused_detail = {
+                "seconds_mxu_exact_fused_device": min(dt_fused),
+                "seconds_mxu_exact_fused_median": float(np.median(dt_fused)),
+                "mxu_fused_cmp_per_sec": float(q * n / min(dt_fused)),
+                "fused_matches_sort_exact": fused_match,
+                "fused_ties_probe_matches": fused_ties,
+            }
+            fp, fs = _phase_breakdown(
+                packed_q, gallery_g, canon_bg, n, k, qs, iters,
+                rescan_fused=True,
+            )
+            fused_detail["phase_ms_fused"] = fp
+            fused_detail["phase_spread_fused"] = fs
+        except Exception as e:
+            fused_detail = {"fused_error": repr(e)}
     dt_mxu_approx_dev = _time_amortized(
         lambda pq: scan_mxu(pq, "approx")[0].sum().astype(jnp.float32),
         qs, iters=iters,
@@ -345,6 +418,8 @@ def run_bench(
             "tf_per_sec": float(tf_per_sec),
             "mfu_vs_v5e_bf16_peak": float(mfu),
             "phase_ms": phases,
+            "phase_spread": phase_spread,
+            **fused_detail,
             "seconds_mxu_exact_device": dt_mxu_dev,
             "seconds_mxu_approx_device": dt_mxu_approx_dev,
             "seconds_groupmin_exact_device": dt_groupmin_dev,

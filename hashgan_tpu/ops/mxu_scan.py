@@ -486,6 +486,104 @@ def _rescan_winner_columns(packed_q, canon_bg_flat, cols, L, c_total, w,
     return key.reshape(q, m * L)
 
 
+def _fused_rescan_kernel(rows_ref, qtile_ref, colst_ref, smat_ref, vn_ref,
+                         out_ref, *, c_total, stride):
+    """Fused rescan epilogue: one VMEM pass over the gathered winner rows.
+
+    rows (Tq, M, L*W) u32 gathered column rows; qtile (Tq, L*W) u32 query
+    words tiled L times (matches the rows' s-major/w-minor word order);
+    colst (M, Tq) i32 winner column ids (transposed so one query's column
+    vector is a lane slice -> an (M, 1) sublane vector, no in-kernel
+    transpose); smat (L*W, L) bf16 0/1 word-group sum matrix; vn (1, 1) i32
+    valid_n in SMEM. out (Tq, M, L) i32 composite keys.
+
+    The word-group sum (per-item distance = sum of W per-word popcounts)
+    runs on the MXU as pc @ smat instead of a strided cross-lane reduction:
+    popcounts are <= 32 (bf16-exact) and sums <= bits <= 128 (f32-exact).
+    The XLA path this replaces materializes the gather output, then streams
+    it through separate xor/popcount/sum/compose passes; here everything
+    after the gather is one read of the rows block."""
+    tq, m, g = rows_ref.shape
+    L = out_ref.shape[2]
+    x = rows_ref[:] ^ qtile_ref[:][:, None, :]            # (Tq, M, G)
+    pc = jax.lax.population_count(x).astype(jnp.int32)
+    pcb = pc.astype(jnp.float32).astype(jnp.bfloat16)
+    vn = vn_ref[0, 0]
+    s_l = jax.lax.broadcasted_iota(jnp.int32, (m, L), 1)
+    for i in range(tq):  # static unroll: 2D MXU dots (Mosaic-supported)
+        d = jnp.dot(pcb[i], smat_ref[:],
+                    preferred_element_type=jnp.float32)   # (M, L) exact
+        di = d.astype(jnp.int32)
+        col = colst_ref[:, i : i + 1]                     # (M, 1)
+        idx = s_l * jnp.int32(c_total) + col
+        key = di * jnp.int32(stride) + idx
+        out_ref[i] = jnp.where(idx < vn, key, INT32_MAX)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "c_total", "w", "stride", "query_tile",
+                     "interpret"),
+)
+def fused_rescan_keys(
+    packed_q: jnp.ndarray,
+    canon_bg_flat: jnp.ndarray,
+    cols: jnp.ndarray,
+    L: int,
+    c_total: int,
+    w: int,
+    stride: int,
+    valid_n,
+    query_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for _rescan_winner_columns: same (Q, M*L) int32
+    composite keys (invalid -> INT32_MAX), but the post-gather arithmetic is
+    a single fused Pallas pass (see _fused_rescan_kernel). The row gather
+    itself stays an XLA take (lane-aligned 2KB-scale rows — the measured
+    fast form); the kernel removes the materialize-then-stream traffic of
+    the unfused epilogue."""
+    q = packed_q.shape[0]
+    m = cols.shape[1]
+    g = L * w
+    rows = jnp.take(canon_bg_flat, cols, axis=0)          # (Q, M, G)
+    qtile = jnp.tile(packed_q, (1, L))                    # (Q, G)
+    q_pad = pl.cdiv(q, query_tile) * query_tile
+    if q_pad != q:
+        rows = jnp.pad(rows, ((0, q_pad - q), (0, 0), (0, 0)))
+        qtile = jnp.pad(qtile, ((0, q_pad - q), (0, 0)))
+        cols = jnp.pad(cols, ((0, q_pad - q), (0, 0)))
+    smat = (
+        jax.lax.broadcasted_iota(jnp.int32, (g, L), 0) // w
+        == jax.lax.broadcasted_iota(jnp.int32, (g, L), 1)
+    ).astype(jnp.bfloat16)
+    vn = jnp.asarray(valid_n, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(
+        _fused_rescan_kernel, c_total=c_total, stride=stride
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((q_pad, m, L), jnp.int32),
+        grid=(q_pad // query_tile,),
+        in_specs=[
+            pl.BlockSpec((query_tile, m, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, g), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, query_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((query_tile, m, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows, qtile, cols.T, smat, vn)
+    return out[:q].reshape(q, m * L)
+
+
 def _full_column_keys(min1: jnp.ndarray, L: int, c: int, stride: int):
     """(Q, C) f32 group-min keys -> (Q, C) int32 DISTINCT full composite
     keys ``d*stride + (s*C + col)``. Distinctness (the global index is
@@ -543,7 +641,7 @@ def _twolevel_topk_min(keys: jnp.ndarray, kk: int, g: int = 16,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "query_tile", "col_block", "interpret", "mode",
-                     "recall_target", "scan_layout"),
+                     "recall_target", "scan_layout", "rescan_fused"),
 )
 def mxu_topk(
     packed_q: jnp.ndarray,
@@ -558,6 +656,7 @@ def mxu_topk(
     recall_target: float = 0.95,
     gallery_pm8: jnp.ndarray | None = None,
     scan_layout: str = "sublane",
+    rescan_fused: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k via MXU scan (+ winner-column rescan when exact).
 
@@ -609,9 +708,15 @@ def mxu_topk(
         # with the kernel-free subgroup minima (whole-subgroup row gather —
         # see _twolevel_topk_min's docstring for the measured gather trap).
         _, cols = _twolevel_topk_min(full_min, m, g=sub_g, submins=submin)
-        rescan = _rescan_winner_columns(
-            packed_q, canon_bg_flat, cols, L, c, w, stride, valid_n
-        )
+        if rescan_fused:
+            rescan = fused_rescan_keys(
+                packed_q, canon_bg_flat, cols, L, c, w, stride, valid_n,
+                interpret=interpret,
+            )
+        else:
+            rescan = _rescan_winner_columns(
+                packed_q, canon_bg_flat, cols, L, c, w, stride, valid_n
+            )
         final, _ = _twolevel_topk_min(rescan, kk)
         is_pad = final == INT32_MAX
         d = jnp.where(is_pad, bits + 1, final // stride)

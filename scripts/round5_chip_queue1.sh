@@ -84,15 +84,6 @@ CONFIG_PRESET=config2_cal SCARCE_TRAIN=1000 RUN_TAG=proj \
   > /tmp/r5_c2cal_scarce1000.log 2>&1
 echo "rc=$?" >> "$Q"
 
-mark fullsplit_stage1_convergence
-sleep 45
-CONFIG_PRESET=config3_cal RUN_TAG=projconv PHASES=stage1 \
-  GAN_CYCLES=24000 ENC_ITERS=20000 SEGMENT_GAN=24000 \
-  GAN_JSON="$PROJ_GAN" \
-  timeout 7200 python scripts/run_config3_ref_horizon.py \
-  > /tmp/r5_fullsplit_stage1.log 2>&1
-echo "rc=$?" >> "$Q"
-
 mark scarce4000_proj_full
 sleep 45
 CONFIG_PRESET=config3_cal SCARCE_TRAIN=4000 RUN_TAG=proj \
@@ -100,6 +91,15 @@ CONFIG_PRESET=config3_cal SCARCE_TRAIN=4000 RUN_TAG=proj \
   GAN_JSON="$PROJ_GAN" \
   timeout 10800 python scripts/run_config3_ref_horizon.py \
   > /tmp/r5_scarce4000.log 2>&1
+echo "rc=$?" >> "$Q"
+
+mark fullsplit_stage1_convergence
+sleep 45
+CONFIG_PRESET=config3_cal RUN_TAG=projconv PHASES=stage1 \
+  GAN_CYCLES=24000 ENC_ITERS=20000 SEGMENT_GAN=24000 \
+  GAN_JSON="$PROJ_GAN" \
+  timeout 7200 python scripts/run_config3_ref_horizon.py \
+  > /tmp/r5_fullsplit_stage1.log 2>&1
 echo "rc=$?" >> "$Q"
 
 mark queue1_done
