@@ -25,6 +25,7 @@ sync, the round-1 methodology) are reported in detail for comparability.
 
 from __future__ import annotations
 
+import inspect
 import time
 from typing import Dict
 
@@ -136,6 +137,18 @@ def _phase_breakdown(packed_q, gallery_g, canon_bg, n, k, qs, iters,
             for s, v in ts.items()
         },
     }
+
+
+def _rescan_fused_default(mxu_topk_fn) -> bool:
+    """Record which rescan engine mxu_topk's PRODUCTION default selects
+    (the headline times the defaults, so the record must be self-
+    describing)."""
+    try:
+        return bool(
+            inspect.signature(mxu_topk_fn).parameters["rescan_fused"].default
+        )
+    except (TypeError, ValueError, KeyError):
+        return False
 
 
 def _time_single(fn, iters: int) -> float:
@@ -415,6 +428,10 @@ def run_bench(
         "detail": {
             "bits": bits, "gallery": n, "queries": q, "k": k,
             "engine": "mxu_exact_device_amortized",
+            # Headline times mxu_topk at PRODUCTION defaults; this records
+            # which rescan engine that was. phase_ms is explicitly the
+            # unfused split, phase_ms_fused explicitly the fused one.
+            "rescan_fused_default": _rescan_fused_default(mxu_topk),
             "tf_per_sec": float(tf_per_sec),
             "mfu_vs_v5e_bf16_peak": float(mfu),
             "phase_ms": phases,
