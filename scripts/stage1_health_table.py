@@ -55,15 +55,22 @@ def snapshot(rows):
     return snaps
 
 
-def main() -> None:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def write_health(run_dirs, path: str, runs_root: str) -> dict:
     out = {}
-    for run_dir in sys.argv[1:]:
-        name = os.path.relpath(run_dir, os.path.join(root, "runs"))
+    for run_dir in run_dirs:
+        name = os.path.relpath(run_dir, runs_root)
         out[name] = snapshot(load_rows(run_dir))
-    path = os.path.join(root, "docs", "artifacts", "stage1_health_r5.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
+    return out
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.environ.get(
+        "HEALTH_OUT",
+        os.path.join(root, "docs", "artifacts", "stage1_health_r5.json"))
+    out = write_health(sys.argv[1:], path, os.path.join(root, "runs"))
     for name, snaps in out.items():
         print(f"\n## {name}")
         cols = ["step", "wasserstein", "wasserstein_noproj",
