@@ -38,21 +38,23 @@ def load_rows(run_dir: str):
 def snapshot(rows):
     """Nearest row at/below each SNAP_EVERY multiple plus the final row;
     sample-quality keys (logged sparser than losses) are carried forward
-    from the latest row that has them."""
-    snaps = []
+    from the latest row that has them. Checkpoint-resumed runs re-append
+    rows for replayed steps (bit-exact), so snapshots key on step with
+    last-occurrence-wins."""
     carried = {}
+    by_step = {}
     targets = set()
     if rows:
-        last = rows[-1]["step"]
+        last = max(r["step"] for r in rows)
         targets = {t for t in range(SNAP_EVERY, last + 1, SNAP_EVERY)}
         targets.add(last)
     for row in rows:
         carried.update({k: row[k] for k in HEALTH_KEYS if k in row})
         if row["step"] in targets:
-            snaps.append({"step": row["step"],
-                          **{k: carried[k] for k in HEALTH_KEYS
-                             if k in carried}})
-    return snaps
+            by_step[row["step"]] = {"step": row["step"],
+                                    **{k: carried[k] for k in HEALTH_KEYS
+                                       if k in carried}}
+    return [by_step[s] for s in sorted(by_step)]
 
 
 def write_health(run_dirs, path: str, runs_root: str) -> dict:
