@@ -486,16 +486,19 @@ def _rescan_winner_columns(packed_q, canon_bg_flat, cols, L, c_total, w,
     return key.reshape(q, m * L)
 
 
-def _fused_rescan_kernel(rows_ref, qtile_ref, colst_ref, smat_ref, vn_ref,
+def _fused_rescan_kernel(rows_ref, qtile_ref, cols_ref, smat_ref, vn_ref,
                          out_ref, *, c_total, stride):
     """Fused rescan epilogue: one VMEM pass over the gathered winner rows.
 
     rows (Tq, M, L*W) u32 gathered column rows; qtile (Tq, L*W) u32 query
     words tiled L times (matches the rows' s-major/w-minor word order);
-    colst (M, Tq) i32 winner column ids (transposed so one query's column
-    vector is a lane slice -> an (M, 1) sublane vector, no in-kernel
-    transpose); smat (L*W, L) bf16 0/1 word-group sum matrix; vn (1, 1) i32
-    valid_n in SMEM. out (Tq, M, L) i32 composite keys.
+    cols (Tq, M, 1) i32 winner column ids (trailing singleton so each
+    query's block slice is already the (M, 1) sublane vector the key
+    compose broadcasts — Mosaic requires block lane dims divisible by 128
+    or equal to the array dim, which rules out the transposed (M, Tq)
+    layout the first cut used); smat (L*W, L) bf16 0/1 word-group sum
+    matrix; vn (1, 1) i32 valid_n in SMEM. out (Tq, M, L) i32 composite
+    keys.
 
     The word-group sum (per-item distance = sum of W per-word popcounts)
     runs on the MXU as pc @ smat instead of a strided cross-lane reduction:
@@ -514,7 +517,7 @@ def _fused_rescan_kernel(rows_ref, qtile_ref, colst_ref, smat_ref, vn_ref,
         d = jnp.dot(pcb[i], smat_ref[:],
                     preferred_element_type=jnp.float32)   # (M, L) exact
         di = d.astype(jnp.int32)
-        col = colst_ref[:, i : i + 1]                     # (M, 1)
+        col = cols_ref[i]                                 # (M, 1)
         idx = s_l * jnp.int32(c_total) + col
         key = di * jnp.int32(stride) + idx
         out_ref[i] = jnp.where(idx < vn, key, INT32_MAX)
@@ -570,7 +573,7 @@ def fused_rescan_keys(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((query_tile, g), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, query_tile), lambda i: (0, i),
+            pl.BlockSpec((query_tile, m, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, L), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -580,7 +583,7 @@ def fused_rescan_keys(
         out_specs=pl.BlockSpec((query_tile, m, L), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rows, qtile, cols.T, smat, vn)
+    )(rows, qtile, cols[:, :, None].astype(jnp.int32), smat, vn)
     return out[:q].reshape(q, m * L)
 
 
