@@ -268,10 +268,6 @@ def run_bench(
     def scan_mxu(pq=packed_q, mode="exact"):
         return mxu_topk(pq, gallery_g, canon_bg, valid_n=n, k=k, mode=mode)
 
-    def scan_mxu_fused(pq=packed_q):
-        return mxu_topk(pq, gallery_g, canon_bg, valid_n=n, k=k,
-                        rescan_fused=True)
-
     def scan_groupmin(pq=packed_q):
         return groupmin_topk(
             pq, gallery_g, packed_canonical, valid_n=n, k=k, repair=8
@@ -327,42 +323,51 @@ def run_bench(
         })
     phases, phase_spread = None, None
     fused_detail = {}
+    fused_default = _rescan_fused_default(mxu_topk)
     if jax.default_backend() not in ("cpu",):
         try:
             phases, phase_spread = _phase_breakdown(
-                packed_q, gallery_g, canon_bg, n, k, qs, iters
+                packed_q, gallery_g, canon_bg, n, k, qs, iters,
+                rescan_fused=fused_default,
             )
         except Exception as e:  # never let the roofline kill the detail
             phases = {"error": repr(e)}
-        # Fused-rescan engine (round 5, ops/mxu_scan.fused_rescan_keys):
-        # measure + witness alongside the production engine so the default
-        # flip is evidence-backed. Never let it kill the detail either.
+        # Rescan-epilogue A/B (round 5, ops/mxu_scan.fused_rescan_keys):
+        # the headline rides the DEFAULT engine, so the A/B arm measures +
+        # witnesses the OPPOSITE one — the default stays evidence-backed in
+        # both directions (fused won 80.8 vs 76.4e9 in-session on v5e).
+        # Never let it kill the detail either.
+        ab = "unfused" if fused_default else "fused"
         try:
-            dm_f, im_f = scan_mxu_fused()
+            def scan_mxu_ab(pq=packed_q):
+                return mxu_topk(pq, gallery_g, canon_bg, valid_n=n, k=k,
+                                rescan_fused=not fused_default)
+
+            dm_f, im_f = scan_mxu_ab()
             fused_match = bool((np.asarray(im_f) == ie).all()) and bool(
                 (np.asarray(dm_f) == np.asarray(dm)).all()
             )
-            _, im_ft = scan_mxu_fused(pq_ties)
+            _, im_ft = scan_mxu_ab(pq_ties)
             fused_ties = bool((np.asarray(im_ft) == np.asarray(ie_t)).all())
             dt_fused = _time_amortized(
-                lambda pq: scan_mxu_fused(pq)[0].sum().astype(jnp.float32),
+                lambda pq: scan_mxu_ab(pq)[0].sum().astype(jnp.float32),
                 qs, iters=max(iters, 5), return_times=True,
             )
             fused_detail = {
-                "seconds_mxu_exact_fused_device": min(dt_fused),
-                "seconds_mxu_exact_fused_median": float(np.median(dt_fused)),
-                "mxu_fused_cmp_per_sec": float(q * n / min(dt_fused)),
-                "fused_matches_sort_exact": fused_match,
-                "fused_ties_probe_matches": fused_ties,
+                f"seconds_mxu_exact_{ab}_device": min(dt_fused),
+                f"seconds_mxu_exact_{ab}_median": float(np.median(dt_fused)),
+                f"mxu_{ab}_cmp_per_sec": float(q * n / min(dt_fused)),
+                f"{ab}_matches_sort_exact": fused_match,
+                f"{ab}_ties_probe_matches": fused_ties,
             }
             fp, fs = _phase_breakdown(
                 packed_q, gallery_g, canon_bg, n, k, qs, iters,
-                rescan_fused=True,
+                rescan_fused=not fused_default,
             )
-            fused_detail["phase_ms_fused"] = fp
-            fused_detail["phase_spread_fused"] = fs
+            fused_detail[f"phase_ms_{ab}"] = fp
+            fused_detail[f"phase_spread_{ab}"] = fs
         except Exception as e:
-            fused_detail = {"fused_error": repr(e)}
+            fused_detail = {f"{ab}_error": repr(e)}
     dt_mxu_approx_dev = _time_amortized(
         lambda pq: scan_mxu(pq, "approx")[0].sum().astype(jnp.float32),
         qs, iters=iters,

@@ -659,7 +659,7 @@ def mxu_topk(
     recall_target: float = 0.95,
     gallery_pm8: jnp.ndarray | None = None,
     scan_layout: str = "sublane",
-    rescan_fused: bool = False,
+    rescan_fused: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k via MXU scan (+ winner-column rescan when exact).
 
