@@ -144,7 +144,12 @@ def run_point(bits: int) -> int:
 def orchestrate() -> int:
     t0 = time.time()
     os.makedirs(ROOT, exist_ok=True)
-    for bits in BITS:
+    # Settle between per-width children (serial-dial wedge — see
+    # run_config3_ref_horizon.py PHASE_SETTLE_S).
+    settle = float(os.environ.get("PHASE_SETTLE_S", "0" if SMOKE else "45"))
+    for i, bits in enumerate(BITS):
+        if i and settle:
+            time.sleep(settle)
         print(f"=== bits {bits} ===", flush=True)
         rc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), str(bits)],

@@ -205,9 +205,18 @@ def orchestrate() -> int:
     children own the tunnel). Runs each phase's segments serially."""
     t0 = time.time()
     env = dict(os.environ)
+    # Settle between child spawns: a client dialing the tunnel within
+    # ~seconds of the previous client's exit can wedge on its first RPC —
+    # measured round 5 on an orchestrator's own phase transition
+    # (run_config3_ref_horizon.py PHASE_SETTLE_S has the full note).
+    settle = float(os.environ.get("PHASE_SETTLE_S", "0" if SMOKE else "45"))
+    spawned = False
     for phase in PHASES:
         print(f"=== phase {phase} ===", flush=True)
         while True:
+            if spawned and settle:
+                time.sleep(settle)
+            spawned = True
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), phase], env=env,
             ).returncode

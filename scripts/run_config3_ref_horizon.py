@@ -111,6 +111,16 @@ ROOT = os.path.abspath(
 # stage1 alone so its completed checkpoint can be copied into a sibling
 # RUN_TAG root before the encoder phases touch it — stage-II variants like
 # the fake_pair_weight arm then reuse one stage-I training run).
+# PHASE_SETTLE_S: pause between child spawns. A client that dials the
+# tunnel within ~seconds of the previous client's exit can wedge forever
+# on its first RPC (CLAUDE.md). Round 4 measured the orchestrator's own
+# segment children as safe; round 5 measured a counterexample — the
+# config2_cal realonly child wedged at dial seconds after the cotrain
+# child exited (12 s CPU over 18 min, parked right after the axon
+# platform warning) — so every re-spawn now settles. 0 under SMOKE (the
+# CPU rehearsal never dials the tunnel).
+PHASE_SETTLE_S = float(
+    os.environ.get("PHASE_SETTLE_S", "0" if SMOKE else "45"))
 _DEFAULT_PHASES = ("stage1", "cotrain") + (
     () if SKIP_ABLATION else ("realonly",))
 PHASES = tuple(os.environ.get("PHASES", ",".join(_DEFAULT_PHASES))
@@ -230,9 +240,13 @@ def orchestrate() -> int:
     """Parent process: no jax import (the children own the tunnel)."""
     t0 = time.time()
     env = dict(os.environ)
+    spawned = False
     for phase in PHASES:
         print(f"=== phase {phase} ===", flush=True)
         while True:
+            if spawned and PHASE_SETTLE_S:
+                time.sleep(PHASE_SETTLE_S)
+            spawned = True
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), phase], env=env,
             ).returncode

@@ -112,7 +112,14 @@ def run_segment() -> int:
 
 
 def orchestrate() -> int:
+    # Settle between segment children (serial-dial wedge — see
+    # run_config3_ref_horizon.py PHASE_SETTLE_S).
+    settle = float(os.environ.get("PHASE_SETTLE_S", "0" if SMOKE else "45"))
+    spawned = False
     while True:
+        if spawned and settle:
+            time.sleep(settle)
+        spawned = True
         rc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "segment"],
         ).returncode
