@@ -6,6 +6,13 @@ MAP) across scarcity points, with the projection-critic stage-I recipe
 Reads runs/config3_ref_horizon_cal_scarce*/summary.json (+ the config2_cal
 run) and writes docs/artifacts/scarce_curve_r5.json. Pure host-side file
 munging — no jax import, safe to run next to a chip job.
+
+Rows already in the committed artifact whose run directory no longer
+exists are CARRIED FORWARD (tagged "carried_forward": true): the host is
+re-imaged between sessions and runs/ does not survive, so a fresh collect
+must not erase measurements whose only remaining home is the artifact
+(measured this round: the first re-image collect dropped the scarce2000
+rows before this guard existed).
 """
 
 import glob
@@ -67,6 +74,14 @@ def main() -> None:
             if cm is not None and rm is not None:
                 row[f"gan_delta_{mk}"] = cm - rm
         rows.append(row)
+    fresh = {r["run"] for r in rows}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            for old in json.load(f).get("rows", []):
+                if old["run"] not in fresh:
+                    old["carried_forward"] = True
+                    rows.append(old)
+    rows.sort(key=lambda r: r["run"])
     out = {"experiment": "round5 calibrated scarce curve, projection recipe",
            "rows": rows}
     os.makedirs(os.path.dirname(OUT), exist_ok=True)

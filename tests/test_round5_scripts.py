@@ -46,6 +46,40 @@ def test_collector_picks_up_summary_and_partial(tmp_path, monkeypatch):
     assert "gan_delta_map_at_5000" not in p  # realonly arm missing
 
 
+def test_collector_carries_forward_rows_after_reimage(tmp_path, monkeypatch):
+    """runs/ does not survive host re-images: rows already in the artifact
+    whose run dir is gone must be preserved, tagged carried_forward."""
+    m = _fresh("scripts.collect_round5_scarce")
+    runs = tmp_path / "runs"
+    live = runs / "config3_ref_horizon_cal_scarce1000_proj"
+    live.mkdir(parents=True)
+    (live / "summary.json").write_text(json.dumps({
+        "gan_cycles": 24000, "enc_iters": 20000, "encoder_arch": "resnet",
+        "wall_s": 1.0, "cotrain_map_at_5000": 0.85,
+        "real_only_map_at_5000": 0.8,
+    }))
+    out = tmp_path / "artifact.json"
+    out.write_text(json.dumps({"rows": [
+        # measured pre-re-image; its run dir no longer exists
+        {"run": "config3_ref_horizon_cal_scarce2000_proj",
+         "cotrain_map_at_5000": 0.8163, "real_only_map_at_5000": 0.8045,
+         "gan_delta_map_at_5000": 0.0118},
+        # stale version of a run that was re-measured: fresh row wins
+        {"run": "config3_ref_horizon_cal_scarce1000_proj",
+         "cotrain_map_at_5000": 0.1},
+    ]}))
+    monkeypatch.setattr(m, "RUNS", str(runs))
+    monkeypatch.setattr(m, "OUT", str(out))
+    m.main()
+    rows = {r["run"]: r for r in json.loads(out.read_text())["rows"]}
+    assert len(rows) == 2
+    kept = rows["config3_ref_horizon_cal_scarce2000_proj"]
+    assert kept["carried_forward"] and kept["gan_delta_map_at_5000"] == 0.0118
+    fresh = rows["config3_ref_horizon_cal_scarce1000_proj"]
+    assert "carried_forward" not in fresh
+    assert fresh["gan_delta_map_at_5000"] == 0.85 - 0.8
+
+
 def test_health_table_snapshots_and_carry_forward(tmp_path):
     m = _fresh("scripts.stage1_health_table")
     run = tmp_path / "runs" / "r1" / "cotrain"
