@@ -41,6 +41,11 @@ def snapshot(rows):
     from the latest row that has them. Checkpoint-resumed runs re-append
     rows for replayed steps (bit-exact), so snapshots key on step with
     last-occurrence-wins."""
+    # Keep stage-I rows only: in a cotrain workdir the same metrics.jsonl
+    # later gains encoder rows whose step numbering restarts at 0 — they
+    # carry no GAN-health keys, and last-occurrence-wins would overwrite
+    # the real cycle snapshots with stale carried values.
+    rows = [r for r in rows if "wasserstein" in r]
     carried = {}
     by_step = {}
     targets = set()
@@ -58,7 +63,13 @@ def snapshot(rows):
 
 
 def write_health(run_dirs, path: str, runs_root: str) -> dict:
+    # Merge with the existing artifact: runs/ does not survive host
+    # re-images, so entries whose run dir is gone must not be erased by a
+    # fresh extract (same carry-forward rule as collect_round5_scarce).
     out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
     for run_dir in run_dirs:
         name = os.path.relpath(run_dir, runs_root)
         out[name] = snapshot(load_rows(run_dir))

@@ -105,3 +105,28 @@ def test_health_table_snapshots_and_carry_forward(tmp_path):
     m.write_health([str(run)], str(art), str(tmp_path / "runs"))
     written = json.loads(art.read_text())
     assert written["r1/cotrain"][0]["step"] == 4000
+
+
+def test_health_table_ignores_encoder_rows_and_merges_artifact(tmp_path):
+    """A cotrain workdir's metrics.jsonl gains encoder rows (step restarts
+    at 0, no GAN keys) after stage-I — they must not displace the cycle
+    snapshots; and re-extracting must not erase artifact entries whose
+    run dirs were re-imaged away."""
+    m = _fresh("scripts.stage1_health_table")
+    run = tmp_path / "runs" / "r2" / "cotrain"
+    run.mkdir(parents=True)
+    rows = [json.dumps({"step": s, "wasserstein": float(s),
+                        "wasserstein_noproj": s / 10.0})
+            for s in range(500, 8001, 500)]
+    # encoder phase appends rows at overlapping steps without GAN keys
+    rows += [json.dumps({"step": s, "hash_loss": 1.0, "map_at_1000": 0.5})
+             for s in range(500, 4001, 500)]
+    (run / "metrics.jsonl").write_text("\n".join(rows) + "\n")
+    art = tmp_path / "stage1_health.json"
+    art.write_text(json.dumps({"gone/cotrain": [{"step": 24000,
+                                                 "wasserstein": 2.7}]}))
+    out = m.write_health([str(run)], str(art), str(tmp_path / "runs"))
+    snaps = out["r2/cotrain"]
+    assert [s["step"] for s in snaps] == [4000, 8000]
+    assert snaps[0]["wasserstein"] == 4000.0  # GAN row, not encoder replay
+    assert out["gone/cotrain"][0]["wasserstein"] == 2.7  # survived merge
