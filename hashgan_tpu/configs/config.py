@@ -118,6 +118,12 @@ class HashLossConfig:
     class_balance_cap: float = 25.0       # clip balance weights (many-class
                                           # tasks: w_pos ~ n_classes blasts the
                                           # 10x-lr hash layer into saturation)
+    # How class_balance counts pairs under a fake_pair_weight discount:
+    # "count" = raw mask counts (bit-exact with pre-round-5 runs; on scarce
+    # one-hot tasks a sub-unit discount then silently under-pulls positives
+    # — measured collapse, see losses/pairwise.py); "mass" = discount-
+    # weighted masses (discount orthogonal to rebalancing).
+    class_balance_mode: str = "count"
     quantization_weight: float = 0.01     # push codes toward +-1
     balance_weight: float = 2.0           # per-bit batch-mean^2 (anti-collapse)
 

@@ -36,6 +36,7 @@ def wml_pairwise_loss(
     codes_b: jnp.ndarray | None = None,
     labels_b: jnp.ndarray | None = None,
     sample_weight: jnp.ndarray | None = None,
+    class_balance_mode: str = "count",
 ):
     """WML pairwise loss over all pairs of (codes, codes_b).
 
@@ -49,9 +50,24 @@ def wml_pairwise_loss(
     (TPU-rebuild extension; the reference weighs real and synthetic pairs
     uniformly, which is the default here). With per-sample weights in
     {1, f}, real-real pairs keep weight 1, real-fake pairs get f and
-    fake-fake pairs f^2; weight 0 reproduces the real-only pair likelihood
-    exactly (for class_balance=False) because the normalizer is the
-    weighted pair count.
+    fake-fake pairs f^2.
+
+    ``class_balance_mode`` controls how the discount interacts with the
+    WML pos/neg rebalancing:
+
+    * ``"count"`` (default, bit-exact with every pre-round-5 run): n_pos /
+      n_neg come from the raw pair mask, IGNORING sample weights. On a
+      scarce one-hot task — where nearly all positive pairs involve a fake
+      (real-real positives are ~1/n_classes of real pairs) — a sub-unit
+      fake_pair_weight then halves the effective positive mass while w_pos
+      still assumes the undiscounted ratio, silently under-pulling
+      positives (measured round 5: config2_cal scarce1000 fpw05 collapsed
+      to MAP 0.350 vs 0.577 plain-cotrain).
+    * ``"mass"``: n_pos / n_neg are the discount-WEIGHTED pair masses, so
+      rebalancing is orthogonal to the discount. With weight 0 on fakes
+      this reproduces the real-only pair likelihood exactly even under
+      class_balance=True (in "count" mode that identity only holds for
+      class_balance=False).
     """
     if codes_b is None:
         codes_b, labels_b = codes, labels
@@ -72,9 +88,21 @@ def wml_pairwise_loss(
     # log(1 + e^theta) - s*theta, numerically stable via softplus
     nll = jnp.logaddexp(0.0, theta) - s * theta
 
+    if class_balance_mode not in ("count", "mass"):
+        raise ValueError(f"unknown class_balance_mode {class_balance_mode!r}")
+    swo = None
+    if sample_weight is not None:
+        # Row weights apply to BOTH sides of the in-batch pair matrix (the
+        # codes_b=None case); for explicit cross-pairs only the query side
+        # carries weights (codes_b rows are the fakes by convention).
+        sw = sample_weight.astype(jnp.float32)
+        swo = sw[:, None] * sw[None, :] if codes_b is codes else sw[:, None]
+
     if class_balance:
-        n_pos = (s * mask).sum()
-        n_all = mask.sum()
+        base = mask if (swo is None or class_balance_mode == "count") \
+            else mask * swo
+        n_pos = (s * base).sum()
+        n_all = base.sum()
         n_neg = n_all - n_pos
         w_pos = jnp.where(n_pos > 0, n_all / jnp.maximum(n_pos, 1.0), 0.0)
         w_neg = jnp.where(n_neg > 0, n_all / jnp.maximum(n_neg, 1.0), 0.0)
@@ -87,15 +115,8 @@ def wml_pairwise_loss(
         w = jnp.where(s > 0, w_pos, w_neg) * mask
     else:
         w = mask
-    if sample_weight is not None:
-        # Row weights apply to BOTH sides of the in-batch pair matrix (the
-        # codes_b=None case); for explicit cross-pairs only the query side
-        # carries weights (codes_b rows are the fakes by convention).
-        sw = sample_weight.astype(jnp.float32)
-        if codes_b is codes:
-            w = w * (sw[:, None] * sw[None, :])
-        else:
-            w = w * sw[:, None]
+    if swo is not None:
+        w = w * swo
 
     pair_loss = (w * nll).sum() / jnp.maximum(w.sum(), 1.0)
     quant = jnp.mean(jnp.square(1.0 - jnp.abs(codes)))

@@ -108,6 +108,7 @@ def make_encoder_train_step(
                 similarity=hl.similarity,
                 class_balance=hl.class_balance,
                 class_balance_cap=hl.class_balance_cap,
+                class_balance_mode=hl.class_balance_mode,
                 quantization_weight=hl.quantization_weight,
                 balance_weight=hl.balance_weight,
                 sample_weight=sample_weight,

@@ -87,6 +87,10 @@ CONFIG_PRESET = os.environ.get("CONFIG_PRESET", "config3")
 # the arms (e.g. the stage-II fake-pair discount — round-4 knob pricing in
 # imperfect G conditioning).
 TRAIN_JSON = os.environ.get("TRAIN_JSON", "")
+# HASH_JSON='{"class_balance_mode": "mass", ...}': HashLossConfig overrides
+# (round 5: the fake-pair discount under count-mode class balance collapsed
+# the one-hot arm — mass mode makes the discount orthogonal to rebalancing).
+HASH_JSON = os.environ.get("HASH_JSON", "")
 # RUN_TAG=<tag>: separate artifact root for re-runs of the same arm set at a
 # different budget (e.g. ENC_ITERS=50000 RUN_TAG=e50k). Needed because the
 # encoder's linear lr decay is tied to ENC_ITERS — resuming a 20k-budget
@@ -151,6 +155,10 @@ def base_config(arm: str):
             eval_every=5000, checkpoint_every=10_000, log_every=500,
             sample_every=5000, device_data=True,
             **(json.loads(TRAIN_JSON) if TRAIN_JSON else {}),
+        ),
+        hash_loss=dataclasses.replace(
+            cfg.hash_loss,
+            **(json.loads(HASH_JSON) if HASH_JSON else {}),
         ),
     )
     if SMOKE:

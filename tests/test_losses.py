@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hashgan_tpu.losses.pairwise import pairwise_similarity, wml_pairwise_loss
 from hashgan_tpu.losses.wgan_gp import (
@@ -162,3 +163,71 @@ def test_wml_sample_weight_cross_set():
     _, m2 = wml_pairwise_loss(ca[::2], la[::2], codes_b=cb, labels_b=lb, **kw)
     np.testing.assert_allclose(float(m["pair_nll"]),
                                float(m2["pair_nll"]), rtol=1e-6)
+
+
+def test_wml_class_balance_mode_mass_realonly_limit():
+    """round-5 fix: in "mass" mode the f=0 discount reproduces the
+    real-only pair NLL even WITH class_balance (in "count" mode the
+    balance weights still assume the undiscounted pos/neg ratio, so the
+    identity fails — the measured one-hot fpw05 collapse)."""
+    rng = np.random.default_rng(11)
+    real = jnp.asarray(rng.standard_normal((8, 16)), dtype=jnp.float32)
+    fake = jnp.asarray(rng.standard_normal((4, 16)), dtype=jnp.float32)
+    lr = jnp.asarray(np.eye(4)[rng.integers(0, 4, 8)], dtype=jnp.float32)
+    lf = jnp.asarray(np.eye(4)[rng.integers(0, 4, 4)], dtype=jnp.float32)
+    codes = jnp.concatenate([real, fake])
+    labels = jnp.concatenate([lr, lf])
+    kw = dict(alpha=3.0, similarity="inner_product", class_balance=True,
+              class_balance_cap=25.0, quantization_weight=0.0)
+    sw = jnp.concatenate([jnp.ones(8), jnp.zeros(4)])
+
+    _, m_mass = wml_pairwise_loss(codes, labels, sample_weight=sw,
+                                  class_balance_mode="mass", **kw)
+    _, m_real = wml_pairwise_loss(real, lr, **kw)
+    np.testing.assert_allclose(float(m_mass["pair_nll"]),
+                               float(m_real["pair_nll"]), rtol=1e-6)
+
+    _, m_count = wml_pairwise_loss(codes, labels, sample_weight=sw,
+                                   class_balance_mode="count", **kw)
+    assert abs(float(m_count["pair_nll"]) - float(m_real["pair_nll"])) > 1e-4
+
+
+def test_wml_class_balance_mode_default_bitexact():
+    """"count" is the default and must stay bit-exact with the historical
+    behavior: identical values with no sample_weight in either mode, and
+    in count mode the balance weights ignore the discount (checked against
+    a manual computation)."""
+    rng = np.random.default_rng(13)
+    codes = jnp.asarray(rng.standard_normal((9, 8)), dtype=jnp.float32)
+    labels = jnp.asarray(np.eye(3)[rng.integers(0, 3, 9)], dtype=jnp.float32)
+    kw = dict(alpha=3.0, similarity="inner_product", class_balance=True,
+              class_balance_cap=25.0, quantization_weight=0.0)
+
+    base, _ = wml_pairwise_loss(codes, labels, **kw)
+    mass, _ = wml_pairwise_loss(codes, labels, class_balance_mode="mass",
+                                **kw)
+    assert float(base) == float(mass)
+
+    f = 0.5
+    sw = np.concatenate([np.ones(6), np.full(3, f)])
+    _, m = wml_pairwise_loss(codes, labels,
+                             sample_weight=jnp.asarray(sw), **kw)
+    c = np.asarray(codes); lab = np.asarray(labels)
+    s = (lab @ lab.T > 0).astype(float)
+    theta = (3.0 / 8) * (c @ c.T)
+    nll = np.logaddexp(0.0, theta) - s * theta
+    mask = 1.0 - np.eye(9)
+    n_pos = (s * mask).sum(); n_all = mask.sum(); n_neg = n_all - n_pos
+    w_pos = min(n_all / max(n_pos, 1.0), 25.0)
+    w_neg = min(n_all / max(n_neg, 1.0), 25.0)
+    w = np.where(s > 0, w_pos, w_neg) * mask * np.outer(sw, sw)
+    expect = (w * nll).sum() / w.sum()
+    assert abs(float(m["pair_nll"]) - expect) < 1e-5
+
+
+def test_wml_class_balance_mode_invalid():
+    rng = np.random.default_rng(5)
+    codes = jnp.asarray(rng.standard_normal((4, 8)), dtype=jnp.float32)
+    labels = jnp.asarray(np.eye(2)[rng.integers(0, 2, 4)], dtype=jnp.float32)
+    with pytest.raises(ValueError, match="class_balance_mode"):
+        wml_pairwise_loss(codes, labels, class_balance_mode="median")
