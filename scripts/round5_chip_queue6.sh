@@ -1,19 +1,18 @@
 #!/bin/bash
-# Round-5 chip queue 6 — measure the class_balance_mode="mass" fix in the
-# regime that exposed the bug (docs/BENCHMARKS.md "one-hot fpw05 sub-arm
-# COLLAPSED"): config2_cal scarce1000, fake_pair_weight=0.5, SAME stage-I
-# checkpoint and data order as the collapsed count-mode arm — the only
-# change is HASH_JSON={"class_balance_mode": "mass"}. Prediction from the
-# diagnosis: the 0.350 collapse recovers to >= plain-cotrain 0.577; where
-# it lands vs real-only 0.599 is the actual new information.
-#
-# Second item (room-gated): the same A/B on the multi-label side
-# (config3_cal scarce1000 fpw05, count 0.8038) — the docs claim the
-# count-mode interaction is marginal there because pair-positive rates are
-# ~35% not ~1%; this measures that claim instead of leaving it as prose.
+# Round-5 chip queue 6 (reordered mid-session; replaces the first draft and
+# folds in queue7's backfill) — post-scarce4000-triple chip items in VALUE
+# order, each room-gated so a started item can finish:
+#   1. config2_cal scarce1000 fpw05 with class_balance_mode="mass" — the
+#      measured 0.350 collapse re-run with the fix; same stage-I ckpt and
+#      data order, the only change is HASH_JSON. (~12 min)
+#   2. scarce4000 fpw05 backfill (if queue5's own room gate skipped it) —
+#      completes the fake_pair_weight=0.5 curve at {1000, 2000, 4000}.
+#   3. config3_cal scarce1000 fpw05 "mass" A/B — measures the docs' claim
+#      that the count-mode interaction is marginal on multi-label. (~35 min)
+#   4. scarce1000 fpw075 — third point on the discount curve (least
+#      valuable; expected to be room-skipped).
 #
 # Usage: HARD_END=<epoch> bash round5_chip_queue6.sh
-#   Waits for queue5 (/tmp/queue5.pid), settles 75 s, then runs.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
@@ -100,7 +99,7 @@ fi
 mark queue6_start
 sleep 75
 
-# ~9 min measured for the count-mode twin (535 s + compile); budget 2400 s
+# 1. the collapse re-run with the fix (~12 min measured for the count twin)
 room_ok c2cal_fpw05_mass 2400 && \
   seed_fpw config3_ref_horizon_config2_cal_scarce1000_proj \
            config3_ref_horizon_config2_cal_scarce1000_proj_fpw05mass && {
@@ -114,7 +113,25 @@ CONFIG_PRESET=config2_cal SCARCE_TRAIN=1000 RUN_TAG=proj_fpw05mass \
   python scripts/run_config3_ref_horizon.py
 }
 
-# ~33 min measured for the count-mode twin (1986 s); budget 3600 s
+# 2. scarce4000 fpw05 backfill (no-op if queue5 fit it)
+if [ -f "$RUNS/config3_ref_horizon_cal_scarce4000_proj_fpw05/summary.json" ]; then
+  mark "queue6: scarce4000 fpw05 already done by queue5"
+else
+  room_ok scarce4000_fpw05_backfill 2400 && \
+    seed_fpw config3_ref_horizon_cal_scarce4000_proj \
+             config3_ref_horizon_cal_scarce4000_proj_fpw05 && {
+  mark scarce4000_fpw05_cotrain_q6
+  sleep 75
+  CONFIG_PRESET=config3_cal SCARCE_TRAIN=4000 RUN_TAG=proj_fpw05 \
+    PHASES=cotrain \
+    GAN_CYCLES=24000 ENC_ITERS=20000 SEGMENT_GAN=24000 SEGMENT_ENC=20000 \
+    GAN_JSON="$PROJ_GAN" TRAIN_JSON='{"fake_pair_weight": 0.5}' \
+    run_watch /tmp/r5_scarce4000_fpw05_q6.log 3600 \
+    python scripts/run_config3_ref_horizon.py
+  }
+fi
+
+# 3. multi-label mass A/B (~33 min measured for the count twin)
 room_ok scarce1000_fpw05_mass 3600 && \
   seed_fpw config3_ref_horizon_cal_scarce1000_proj \
            config3_ref_horizon_cal_scarce1000_proj_fpw05mass && {
@@ -129,9 +146,7 @@ CONFIG_PRESET=config3_cal SCARCE_TRAIN=1000 RUN_TAG=proj_fpw05mass \
   python scripts/run_config3_ref_horizon.py
 }
 
-# Third point on the scarce1000 discount curve {1.0: 0.7729, 0.5: 0.8038}
-# (docs call the curve "two points; intermediate values untested"); count
-# mode on purpose — it matches the two existing points.
+# 4. discount-curve intermediate point (expected room-skipped)
 room_ok scarce1000_fpw075 3600 && \
   seed_fpw config3_ref_horizon_cal_scarce1000_proj \
            config3_ref_horizon_cal_scarce1000_proj_fpw075 && {
