@@ -305,7 +305,13 @@ class Experiment:
                         self.encoder, self.cfg, generator=None
                     )
                 return False, self._enc_step_nogan
-        w = self._last_logged("wasserstein")
+        # With d_projection the critic score includes <V y, phi(x)>, so the
+        # raw Wasserstein is inflated by the conditioning term (measured: a
+        # converged projection stage-I logs W ~ 11 with W_noproj ~ 2.0);
+        # judge health on the projection-free readout when it exists.
+        w = self._last_logged("wasserstein_noproj")
+        if w is None:
+            w = self._last_logged("wasserstein")
         if w is not None and abs(w) > 10.0:
             # Measured twice (docs/BENCHMARKS.md scarce multi-label rows):
             # an unconverged stage-I (healthy runs settle |W| ~ 2-3) makes

@@ -257,3 +257,47 @@ def test_docs_cite_existing_artifacts():
     finally:
         sys.path.pop(0)
     assert check(strict=False) == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 fix: the stage-II health guard must judge a PROJECTION stage-I by
+# the projection-free readout. Measured in anger (scarce4000 triple): a
+# converged projection run ends with wasserstein ~ 11.8 (score includes
+# <V y, phi(x)>) but wasserstein_noproj ~ 2.0 — the guard warned
+# "unconverged" on a healthy stage-I that went on to deliver +2.0 MAP.
+# ---------------------------------------------------------------------------
+
+def test_stage2_guard_prefers_noproj_readout(tmp_path):
+    import json
+    import warnings
+
+    from hashgan_tpu.configs import (Config, DataConfig, EncoderConfig,
+                                     GanConfig, TrainConfig)
+    from hashgan_tpu.train.loop import Experiment
+
+    cfg = Config(
+        data=DataConfig(n_train=64, n_query=16, n_database=64, n_classes=4),
+        gan=GanConfig(dim=16, z_dim=32, n_critic=2, iters=100),
+        encoder=EncoderConfig(arch="small_cnn", bits=16, lr=1e-3),
+        train=TrainConfig(batch_size=16, fake_ratio=0.5),
+        use_gan=True,
+    )
+    exp = Experiment(cfg, workdir=str(tmp_path), use_mesh=False)
+    exp.train_gan(iters=1)
+
+    # projection-style row: inflated raw W, healthy noproj -> no warning
+    with open(f"{tmp_path}/metrics.jsonl", "a") as f:
+        f.write(json.dumps({"step": 1, "wasserstein": 11.8,
+                            "wasserstein_noproj": 2.0}) + "\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        use_gan, _ = exp._stage2_guard()
+    assert use_gan
+
+    # unhealthy noproj -> warning keyed on the noproj value
+    with open(f"{tmp_path}/metrics.jsonl", "a") as f:
+        f.write(json.dumps({"step": 2, "wasserstein": 3.0,
+                            "wasserstein_noproj": 41.5}) + "\n")
+    with pytest.warns(UserWarning, match="41.5"):
+        use_gan, _ = exp._stage2_guard()
+    assert use_gan
